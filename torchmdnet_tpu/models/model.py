@@ -57,7 +57,8 @@ class TorchMDNet(nn.Module):
     ):
         atom_mask = batch < num_mols
         x, v = self.representation_model(
-            z, pos, batch, box=box, q=q, s=s, atom_mask=atom_mask
+            z, pos, batch, box=box, q=q, s=s, atom_mask=atom_mask,
+            num_mols=num_mols,
         )
         if self.atom_filter > -1:
             # AtomFilter (reference wrappers.py:33-67): atoms with

@@ -1,0 +1,262 @@
+"""TensorNet2 — TensorNet + AIMNet2-style neutral charge equilibration.
+
+Capability parity with the reference ``torchmdnet/models/tensornet2.py``
+(ChargePredict:49-156, TensorNet2:159-462, Interaction:465-626): per-layer
+MLPs predict multi-channel partial charges that are redistributed so each
+molecule's channel sums equal its total charge Q (qeq); the charges feed
+back into the interaction layers as edge features and are appended to the
+node features for the Coulomb output module.
+
+TPU-first notes: ``mol_sum`` is a static-shape ``segment_sum`` (the
+reference's CUDA-graph-aware ``dim_size`` caching, ``tensornet2.py:65-100``,
+is unnecessary under jit); ghost/padding atoms live in an extra segment
+that every per-molecule sum simply ignores.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from torchmdnet_tpu.models.common import MLP, LayerNorm, get_activation, make_rbf
+from torchmdnet_tpu.models.tensornet import (
+    TensorEmbedding,
+    edge_message_passing,
+    gather_irreps,
+    linear_irreps,
+)
+from torchmdnet_tpu.ops import rbf as rbf_ops
+from torchmdnet_tpu.ops.neighbors import (
+    NeighborMatrix,
+    build_neighbor_matrix,
+    neighbor_geometry,
+)
+from torchmdnet_tpu.ops.segment import segment_sum
+from torchmdnet_tpu.ops.tensor_algebra import (
+    Irreps,
+    compose_tensor,
+    decompose_tensor,
+    irreps_norm2,
+    irreps_norm3,
+    tensor_frobenius_norm2,
+    tensor_matmul_o3,
+    tensor_matmul_so3,
+)
+
+
+class ChargePredict(nn.Module):
+    """Charge head + neutral charge equilibration
+    (reference ``tensornet2.py:49-156``)."""
+
+    hidden_channels: int
+    activation: str = "silu"
+    q_dim: int = 16
+
+    def setup(self):
+        self.q_norm = LayerNorm()
+        self.q_mlp = MLP(
+            out_channels=2 * self.q_dim,
+            hidden_channels=self.hidden_channels,
+            activation=self.activation,
+            num_hidden_layers=1,
+        )
+
+    def qeq(self, old_charges, f, batch, Q_atom, num_mols: int):
+        """new = q + f²/(Σ_mol f² + ε) · (Q - Σ_mol q)
+        (reference ``tensornet2.py:102-140``)."""
+        f_u = f * f
+        eps = 1.0e-6
+        F_u = segment_sum(f_u, batch, num_mols + 1) + eps  # [B+1, qdim]
+        Q_u = segment_sum(old_charges, batch, num_mols + 1)
+        dQ = Q_atom[:, None] - Q_u[batch]
+        frac = f_u / F_u[batch]
+        return old_charges + frac * dQ
+
+    def __call__(self, X: Irreps, batch, Q_atom, num_mols: int):
+        # Feature: (I, ‖A‖², ‖S‖²) — raw I here, unlike the readout's 3I²
+        # (reference :142-150).
+        nI, nA, nS = irreps_norm2(X)
+        x = jnp.concatenate([X.I, nA, nS], axis=-1)
+        cf = self.q_mlp(self.q_norm(x))
+        charges, f = cf[:, : self.q_dim], cf[:, self.q_dim:]
+        return self.qeq(charges, f, batch, Q_atom, num_mols)
+
+
+class Interaction2(nn.Module):
+    """TensorNet2 interaction layer: rbf ⊕ charge-pair edge features, no
+    (1+0.1q) scaling (reference ``tensornet2.py:465-626``)."""
+
+    hidden_channels: int
+    num_rbf: int
+    q_dim: int
+    activation: str = "silu"
+    cutoff_lower: float = 0.0
+    cutoff_upper: float = 4.5
+    equivariance_invariance_group: str = "O(3)"
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, X: Irreps, charges, nbr: NeighborMatrix, edge_weight,
+                 edge_attr):
+        from torchmdnet_tpu.models.common import Linear
+
+        F = self.hidden_channels
+        act = get_activation(self.activation)
+        C = rbf_ops.cosine_cutoff(edge_weight, self.cutoff_upper, self.cutoff_lower)
+
+        k = nbr.idx.shape[1]
+        q_i = jnp.broadcast_to(charges[:, None, :], (charges.shape[0], k,
+                                                     charges.shape[1]))
+        q_j = charges[nbr.idx]
+        attr = jnp.concatenate([edge_attr, q_i, q_j], axis=-1)
+        attr = act(Linear(F, name="linears_scalar_0", dtype=self.dtype)(attr))
+        attr = act(Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)(attr))
+        attr = act(Linear(3 * F, name="linears_scalar_2", dtype=self.dtype)(attr))
+        attr = attr * (C * nbr.mask.astype(attr.dtype))[..., None]
+        attr = attr.reshape(attr.shape[0], attr.shape[1], 3, F)
+
+        normp1 = tensor_frobenius_norm2(X) + 1.0
+        X = Irreps(X.I / normp1, X.A / normp1[:, None, :], X.S / normp1[:, None, :])
+
+        Y = linear_irreps(
+            X, ["linears_tensor_0", "linears_tensor_1", "linears_tensor_2"],
+            dtype=self.dtype,
+        )
+        M = edge_message_passing(attr, Y, nbr.idx)
+
+        Yf = compose_tensor(Y)
+        Mf = compose_tensor(M)
+        if self.equivariance_invariance_group == "O(3)":
+            Cf = tensor_matmul_o3(Yf, Mf)
+        else:
+            Cf = 2.0 * tensor_matmul_so3(Yf, Mf)
+        B = decompose_tensor(Cf)
+        np1 = tensor_frobenius_norm2(B) + 1.0
+        B = Irreps(B.I / np1, B.A / np1[:, None, :], B.S / np1[:, None, :])
+        dX = linear_irreps(
+            B, ["linears_tensor_3", "linears_tensor_4", "linears_tensor_5"],
+            dtype=self.dtype,
+        )
+        dXf = compose_tensor(dX)
+        dX2 = decompose_tensor(tensor_matmul_so3(dXf, dXf))
+        return Irreps(X.I + dX.I + dX2.I, X.A + dX.A + dX2.A,
+                      X.S + dX.S + dX2.S)
+
+
+class TensorNet2(nn.Module):
+    """Representation model with charge equilibration
+    (reference ``tensornet2.py:159-462``).  When ``output_charges`` the
+    per-layer charges are appended to the node features for
+    ScalarPlusWeightedCoulomb."""
+
+    hidden_channels: int = 128
+    q_dim: int = 16
+    num_layers: int = 2
+    num_rbf: int = 32
+    rbf_type: str = "expnorm"
+    trainable_rbf: bool = False
+    activation: str = "silu"
+    cutoff_lower: float = 0.0
+    cutoff_upper: float = 4.5
+    max_num_neighbors: int = 64
+    max_z: int = 128
+    equivariance_invariance_group: str = "O(3)"
+    output_charges: bool = False
+    neighbor_strategy: str = "brute"
+    dtype: Optional[jnp.dtype] = None
+
+    def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
+        return build_neighbor_matrix(
+            pos,
+            batch,
+            strategy=self.neighbor_strategy,
+            k_max=self.max_num_neighbors,
+            cutoff_upper=self.cutoff_upper,
+            cutoff_lower=self.cutoff_lower,
+            loop=True,
+            box=box,
+            atom_mask=atom_mask,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        z,
+        pos,
+        batch,
+        box=None,
+        q=None,
+        s=None,
+        atom_mask=None,
+        nbr: Optional[NeighborMatrix] = None,
+        num_mols: Optional[int] = None,
+    ):
+        from torchmdnet_tpu.models.common import Linear
+
+        F = self.hidden_channels
+        act = get_activation(self.activation)
+        if num_mols is None:
+            num_mols = int(batch.shape[0])  # safe upper bound
+        if nbr is None:
+            nbr = self.build_neighbors(pos, batch, box=box, atom_mask=atom_mask)
+        delta, dist = neighbor_geometry(pos, nbr, box=box, batch=batch)
+
+        # Per-atom total charge Q (reference :376-380).
+        if q is None:
+            Q_atom = jnp.zeros_like(z, dtype=pos.dtype)
+        else:
+            Q_atom = jnp.concatenate(
+                [jnp.asarray(q, pos.dtype), jnp.zeros((1,), pos.dtype)]
+            )[jnp.minimum(batch, q.shape[0])]
+
+        edge_attr = make_rbf(
+            self.rbf_type, self.cutoff_lower, self.cutoff_upper, self.num_rbf,
+            self.trainable_rbf, name="distance_expansion",
+        )(dist)
+        safe_w = jnp.where(dist > 0, dist, 1.0)
+        edge_vec_norm = delta / safe_w[..., None]
+
+        X = TensorEmbedding(
+            hidden_channels=F,
+            num_rbf=self.num_rbf,
+            activation=self.activation,
+            cutoff_lower=self.cutoff_lower,
+            cutoff_upper=self.cutoff_upper,
+            max_z=self.max_z,
+            name="tensor_embedding",
+            dtype=self.dtype,
+        )(z, nbr, dist, edge_vec_norm, edge_attr)
+
+        charges = ChargePredict(
+            hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
+            name="charge_predict_0",
+        )(X, batch, Q_atom, num_mols)
+        charge_list = [charges]
+
+        for i in range(self.num_layers):
+            X = Interaction2(
+                hidden_channels=F,
+                num_rbf=self.num_rbf,
+                q_dim=self.q_dim,
+                activation=self.activation,
+                cutoff_lower=self.cutoff_lower,
+                cutoff_upper=self.cutoff_upper,
+                equivariance_invariance_group=self.equivariance_invariance_group,
+                name=f"layers_{i}",
+                dtype=self.dtype,
+            )(X, charges, nbr, dist, edge_attr)
+            charges = ChargePredict(
+                hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
+                name=f"charge_predicts_{i}",
+            )(X, batch, Q_atom, num_mols)
+            charge_list.append(charges)
+
+        all_charges = jnp.concatenate(charge_list, axis=-1)
+
+        x = irreps_norm3(X)
+        x = LayerNorm(name="out_norm")(x)
+        x = act(Linear(F, name="linear", dtype=self.dtype)(x))
+        if self.output_charges:
+            x = jnp.concatenate([x, all_charges], axis=-1)
+        return x, None
