@@ -1,0 +1,113 @@
+"""Headline benchmark (driver-run on real TPU).
+
+Mirrors the reference benchmark harness (``benchmarks/inference.py``:
+fwd+force ms/step, mean over timed iters, on the benchmark systems of
+``benchmarks/README.md``) on the dhfr-scale system (2489 atoms), with the
+flagship TensorNet config (2 layers × 128 channels, the paper's benchmark
+point).
+
+Baseline anchor: the reference publishes no absolute numbers in-tree
+(BASELINE.md); the paper-scale anchor used here is ~9 ms/step for
+TensorNet 2L/128d fwd+bwd on a dhfr-scale system on an A100-class GPU
+(arXiv 2402.17660 ballpark).  ``vs_baseline > 1`` means faster than that
+anchor.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+ASSUMED_A100_MS_PER_STEP = 9.0
+N_ATOMS = int(os.environ.get("BENCH_NATOMS", 2489))
+N_PAD = int(np.ceil(N_ATOMS / 128) * 128)
+TIMED_ITERS = int(os.environ.get("BENCH_ITERS", 30))
+
+
+def build_system(n_atoms, n_pad, density=0.1, seed=0):
+    """Liquid-density periodic system (water-like 0.1 atoms/Å³)."""
+    rng = np.random.RandomState(seed)
+    L = (n_atoms / density) ** (1.0 / 3.0)
+    pos = np.zeros((n_pad, 3), np.float32)
+    pos[:n_atoms] = rng.uniform(0, L, (n_atoms, 3))
+    z = np.zeros(n_pad, np.int32)
+    z[:n_atoms] = rng.choice([1, 1, 6, 7, 8], n_atoms)
+    seg = np.ones(n_pad, np.int32)
+    seg[:n_atoms] = 0
+    box = np.diag([L, L, L]).astype(np.float32)
+    return z, pos, seg, box
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from torchmdnet_tpu.models.model import create_model
+
+    args = dict(
+        model="tensornet",
+        embedding_dimension=128,
+        num_layers=2,
+        num_rbf=32,
+        rbf_type="expnorm",
+        trainable_rbf=False,
+        activation="silu",
+        cutoff_lower=0.0,
+        cutoff_upper=4.5,
+        max_z=128,
+        max_num_neighbors=64,
+        derivative=True,
+        prior_model=None,
+        output_model="Scalar",
+        reduce_op="sum",
+        precision=32,
+        equivariance_invariance_group="O(3)",
+        atom_filter=-1,
+    )
+    pot = create_model(args)
+    z, pos, seg, box = build_system(N_ATOMS, N_PAD)
+    zj, pj, sj, bj = map(jnp.asarray, (z, pos, seg, box))
+
+    variables = jax.jit(partial(pot.init, num_mols=1))(
+        jax.random.PRNGKey(0), zj, pj, sj, box=bj
+    )
+
+    @jax.jit
+    def step(params, pos):
+        return pot.apply(params, zj, pos, sj, box=bj, num_mols=1)
+
+    t0 = time.time()
+    y, f = step(variables, pj)
+    jax.block_until_ready((y, f))
+    compile_s = time.time() - t0
+
+    # timed loop: feed the positions back (MD-like dependency chain)
+    t0 = time.time()
+    p = pj
+    for _ in range(TIMED_ITERS):
+        y, f = step(variables, p)
+        p = p + 0.0 * f
+    jax.block_until_ready((y, f, p))
+    ms = (time.time() - t0) / TIMED_ITERS * 1000.0
+
+    result = {
+        "metric": f"tensornet_2L128d_fwd_force_ms_{N_ATOMS}atoms",
+        "value": round(ms, 3),
+        "unit": "ms/step",
+        "vs_baseline": round(ASSUMED_A100_MS_PER_STEP / ms, 3),
+        "extra": {
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "n_pad": N_PAD,
+            "energy": float(np.asarray(y)[0, 0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -16,8 +16,19 @@ def segment_sum(x, segment_ids, num_segments: int):
     return jax.ops.segment_sum(x, segment_ids, num_segments=num_segments)
 
 
-def segment_mean(x, segment_ids, num_segments: int):
+def segment_mean(x, segment_ids, num_segments: int, include_zero: bool = True):
+    """Segment mean.
+
+    ``include_zero=True`` reproduces the reference's ``scatter(...,
+    reduce='mean')`` exactly: it is built on ``torch.scatter_reduce`` with
+    the default ``include_self=True`` over a zeros output, so the zero
+    initial value participates and the denominator is ``count + 1``
+    (``models/utils.py:699-701``).  Checkpoints trained with
+    ``reduce_op='mean'`` or GN ``aggr='mean'`` depend on this quirk.
+    """
     total = segment_sum(x, segment_ids, num_segments)
     ones = jnp.ones(x.shape[:1], dtype=x.dtype)
     count = jax.ops.segment_sum(ones, segment_ids, num_segments=num_segments)
+    if include_zero:
+        count = count + 1.0
     return total / jnp.maximum(count, 1.0).reshape((-1,) + (1,) * (x.ndim - 1))

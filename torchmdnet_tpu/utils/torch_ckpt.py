@@ -43,6 +43,13 @@ _SKIP_PATTERNS = [
     r"\.edge_index$",
 ]
 
+# Structural aliases between torch attribute paths and our flax layout.
+_ALIAS_PATTERNS = [
+    # GN: InteractionBlock.mlp is consumed inside CFConv as `net`
+    # (torchmd_gn.py:248-258); our params live under conv/net_{0,2}.
+    (r"interactions\.(\d+)\.mlp\.(\d+)\.", r"interactions.\1.conv.net.\2."),
+]
+
 _PR314_PATTERNS = [
     (
         r"output_model.output_network.(\d+).update_net.(\d+)\.",
@@ -84,7 +91,7 @@ def apply_reference_compat(
 ) -> Dict[str, np.ndarray]:
     """Key renames + old-layout remixes, mirroring ``model.py:261-373``."""
     sd = {re.sub(r"^model\.", "", k): v for k, v in state_dict.items()}
-    for pat, repl in _PR314_PATTERNS:
+    for pat, repl in _PR314_PATTERNS + _ALIAS_PATTERNS:
         sd = {re.sub(pat, repl, k): v for k, v in sd.items()}
 
     is_old_format = "check_errors" in hparams
