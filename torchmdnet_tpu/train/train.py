@@ -1,0 +1,74 @@
+"""``tmdnet-train`` CLI (reference ``torchmdnet/scripts/train.py:182-279``):
+config → DataModule → priors → model → Trainer.fit → test on best ckpt."""
+
+import os
+import sys
+
+
+def main(argv=None):
+    import numpy as np
+
+    from torchmdnet_tpu.data.datamodule import DataModule
+    from torchmdnet_tpu.models.model import create_model, create_prior_models
+    from torchmdnet_tpu.train.trainer import Trainer
+    from torchmdnet_tpu.utils.config import get_args
+
+    args = get_args(argv)
+    hp = vars(args)
+    np.random.seed(hp.get("seed", 1))
+
+    data = DataModule(hp)
+    data.setup("fit")
+
+    prior_models = create_prior_models(hp, data.dataset)
+
+    mean, std = data.mean, data.std
+    if hp.get("remove_ref_energy"):
+        # delta learning: trailing disabled Atomref (reference train.py:198)
+        from torchmdnet_tpu.priors.atomref import Atomref
+
+        atomref = data.atomref
+        prior_models = tuple(prior_models) + (
+            Atomref(initial_atomref=atomref, enable=False),
+        )
+
+    if hp.get("load_model"):
+        from torchmdnet_tpu.models.model import load_model
+
+        potential, variables = load_model(hp["load_model"], args=hp)
+        trainer = Trainer(potential, hp, data)
+        first = next(iter(data.train_dataloader()))
+        trainer._init_state(first)
+        import jax
+        import jax.numpy as jnp
+
+        trainer.state = trainer.state._replace(
+            params=jax.tree.map(jnp.asarray, variables["params"])
+        )
+    else:
+        potential = create_model(hp, prior_models=prior_models,
+                                 mean=mean, std=std)
+        trainer = Trainer(potential, hp, data)
+
+    trainer.fit()
+
+    # post-fit: test with the best checkpoint's params (reference :271-279)
+    best = os.path.join(hp["log_dir"], "best.ckpt.native")
+    if os.path.exists(best):
+        import pickle
+
+        import jax
+        import jax.numpy as jnp
+
+        with open(best, "rb") as fh:
+            saved = pickle.load(fh)
+        trainer.state = trainer.state._replace(
+            params=jax.tree.map(jnp.asarray, saved["params"])
+        )
+    results = trainer.test()
+    print("test results:", results)
+    return results
+
+
+if __name__ == "__main__":
+    main()

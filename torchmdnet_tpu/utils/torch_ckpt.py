@@ -209,6 +209,145 @@ def convert_state_dict(
     return rebuild(params_template)
 
 
+def _flax_path_to_torch_key(path, leaf_shape_is_matrix):
+    """Inverse of :func:`_torch_key_to_path` for checkpoint export."""
+    # Names whose trailing _<int> is literal (a torch attribute name,
+    # not a ModuleList index).
+    literal = {"charge_predict_0", "output_network_0", "output_network_1"}
+    tokens = []
+    for tok in path[:-1]:
+        if tok in literal:
+            tokens.append(tok)
+            continue
+        parts = tok.rsplit("_", 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            tokens.extend(parts)
+        else:
+            tokens.append(tok)
+    leaf = path[-1]
+    if leaf == "kernel":
+        tokens.append("weight")
+    elif leaf == "embedding":
+        tokens.append("weight")
+    elif leaf == "scale":
+        tokens.append("weight")
+    elif leaf == "atomref":
+        tokens.extend(["atomref", "weight"])
+    else:
+        tokens.append(leaf)
+    if tokens[0] == "prior_models":
+        tokens[0] = "prior_model"
+    key = ".".join(tokens)
+    # GN alias back: conv.net.{i} → mlp.{i} at the block level
+    key = re.sub(r"(interactions\.\d+)\.conv\.net\.(\d+)\.", r"\1.mlp.\2.",
+                 key)
+    return key
+
+
+def save_torch_checkpoint(filepath, potential, variables, hparams=None,
+                          mean=None, std=None):
+    """Export our flax params as a reference-loadable Lightning ``.ckpt``.
+
+    Inverse of the loader: flax paths → torch keys (``layers_0`` →
+    ``layers.0``; ``kernel`` → transposed ``weight``), ``model.`` prefix,
+    ``hyper_parameters`` embedded — so checkpoints trained here run in the
+    original torch framework unmodified.
+    """
+    import jax
+    import torch
+    from flax.core import unfreeze
+
+    params = unfreeze(variables["params"]) if "params" in variables else (
+        unfreeze(variables)
+    )
+    flat = _flatten(jax.tree.map(np.asarray, params))
+    state_dict = {}
+    for path, value in flat.items():
+        key = _flax_path_to_torch_key(path, value.ndim == 2)
+        if path[-1] == "kernel":
+            value = value.T
+        state_dict["model." + key] = torch.tensor(np.asarray(value))
+    # Reference state dicts also carry non-learnable buffers (RBF params
+    # when trainable_rbf=False, neighbor-list box buffers, prior tables);
+    # emit them so torch `load_state_dict` finds every key.
+    hp = dict(hparams or potential.hparams)
+    rep = potential.module.representation_model
+
+    def rbf_buffers(prefix, rbf_type, lo, hi, num):
+        from torchmdnet_tpu.ops.rbf import (
+            expnorm_initial_params,
+            gauss_initial_params,
+        )
+
+        if rbf_type == "expnorm":
+            means, betas = expnorm_initial_params(lo, hi, num)
+            return {
+                f"{prefix}.means": torch.tensor(np.asarray(means)),
+                f"{prefix}.betas": torch.tensor(np.asarray(betas)),
+            }
+        offset, coeff = gauss_initial_params(lo, hi, num)
+        return {
+            f"{prefix}.offset": torch.tensor(np.asarray(offset)),
+            f"{prefix}.coeff": torch.tensor(np.asarray(coeff)),
+        }
+
+    if not getattr(rep, "trainable_rbf", True):
+        for key, val in rbf_buffers(
+            "model.representation_model.distance_expansion",
+            rep.rbf_type, rep.cutoff_lower, rep.cutoff_upper, rep.num_rbf,
+        ).items():
+            state_dict.setdefault(key, val)
+    state_dict.setdefault(
+        "model.representation_model.distance.box", torch.zeros(3, 3)
+    )
+    if getattr(potential.module.output_model, "coulomb_cutoff", None):
+        state_dict.setdefault(
+            "model.output_model.distance.box", torch.zeros(3, 3)
+        )
+
+    from torchmdnet_tpu.priors.atomref import Atomref
+    from torchmdnet_tpu.priors.coulomb import Coulomb
+    from torchmdnet_tpu.priors.d2 import C_6, D2, R_R
+    from torchmdnet_tpu.priors.zbl import ZBL
+
+    for i, prior in enumerate(potential.module.prior_models):
+        pfx = f"model.prior_model.{i}"
+        if isinstance(prior, Atomref):
+            table = torch.tensor(np.asarray(prior._initial_table()))
+            state_dict.setdefault(f"{pfx}.atomref.weight", table)
+            state_dict[f"{pfx}.initial_atomref"] = table
+        elif isinstance(prior, ZBL):
+            state_dict[f"{pfx}.atomic_number"] = torch.tensor(
+                list(prior.atomic_number), dtype=torch.long
+            )
+            state_dict[f"{pfx}.distance.box"] = torch.zeros(3, 3)
+        elif isinstance(prior, D2):
+            state_dict[f"{pfx}.Z_map"] = torch.tensor(
+                list(prior.atomic_number), dtype=torch.long
+            )
+            state_dict[f"{pfx}.C_6"] = torch.tensor(
+                np.asarray(C_6, np.float32)
+            )
+            state_dict[f"{pfx}.R_r"] = torch.tensor(
+                np.asarray(R_R, np.float32)
+            )
+            state_dict[f"{pfx}.distances.box"] = torch.zeros(3, 3)
+        elif isinstance(prior, Coulomb):
+            state_dict[f"{pfx}.distance.box"] = torch.zeros(3, 3)
+    state_dict["model.mean"] = torch.tensor(
+        float(mean if mean is not None else potential.module.mean)
+    )
+    state_dict["model.std"] = torch.tensor(
+        float(std if std is not None else potential.module.std)
+    )
+    ckpt = {
+        "state_dict": state_dict,
+        "hyper_parameters": dict(hparams or potential.hparams),
+    }
+    torch.save(ckpt, filepath)
+    return filepath
+
+
 def load_checkpoint_as_potential(filepath, args=None, **kwargs):
     """Full reference-compatible loader; returns ``(potential, variables)``."""
     import jax
