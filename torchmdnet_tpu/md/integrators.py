@@ -1,0 +1,184 @@
+"""On-device MD engine.
+
+The reference's fastest MD path captures forward+grad in a CUDA graph and
+replays it with in-place position updates (``calculators.py:117-169``); the
+TPU-native equivalent goes further: the *entire* MD loop — neighbor
+rebuilds, model evaluation, integration — runs inside jit via
+``lax.fori_loop`` chunks, so positions never leave the chip
+(SURVEY §3.3 note).
+
+Integrators: velocity Verlet (NVE) and Langevin (velocity-Verlet + OU
+thermostat).  The neighbor matrix is rebuilt every ``rebuild_every`` steps
+with a ``skin`` added to the cutoff; between rebuilds the model consumes
+the cached index set (edges beyond the true cutoff contribute exactly zero
+through the cosine-cutoff windows), and geometry is recomputed
+differentiably every step.
+
+Units: Å, eV, amu, fs.  ``ACC_FACTOR`` converts (eV/Å)/amu → Å/fs².
+"""
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+ACC_FACTOR = 9.648533212331024e-3  # (eV/Å)/amu → Å/fs²
+KB_EV = 8.617333262e-5  # Boltzmann constant, eV/K
+# velocity variance at temperature T: v² ~ kT/m with kT in eV → Å²/fs²
+VEL2_FACTOR = KB_EV * ACC_FACTOR
+
+
+class MDState(NamedTuple):
+    pos: jnp.ndarray  # [N, 3] Å
+    vel: jnp.ndarray  # [N, 3] Å/fs
+    nbr_idx: jnp.ndarray
+    nbr_mask: jnp.ndarray
+    key: jnp.ndarray
+    step: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def maxwell_boltzmann_velocities(key, masses, temperature, shape_like):
+    sigma = jnp.sqrt(VEL2_FACTOR * temperature / masses)[:, None]
+    return sigma * jax.random.normal(key, shape_like.shape, shape_like.dtype)
+
+
+def kinetic_energy(vel, masses):
+    """Kinetic energy in eV."""
+    return 0.5 * jnp.sum(masses[:, None] * vel * vel) / ACC_FACTOR
+
+
+def make_md_step(
+    potential,
+    variables,
+    z,
+    batch,
+    masses,
+    *,
+    dt: float,
+    num_mols: int = 1,
+    box=None,
+    q=None,
+    rebuild_every: int = 25,
+    skin: float = 1.0,
+    k_max: Optional[int] = None,
+    temperature: Optional[float] = None,
+    gamma: float = 0.01,
+    neighbor_strategy: str = "brute",
+    cells_per_dim=None,
+):
+    """Build ``(init_state, chunk)``: ``chunk`` advances ``rebuild_every``
+    jitted steps with one neighbor rebuild."""
+    rep = potential.module.representation_model
+    cutoff = float(rep.cutoff_upper)
+    k_cap = int(k_max if k_max is not None else rep.max_num_neighbors)
+    inv_m = (1.0 / jnp.asarray(masses))[:, None]
+    masses = jnp.asarray(masses)
+
+    from torchmdnet_tpu.ops.neighbors import (
+        NeighborMatrix,
+        build_neighbor_matrix,
+    )
+
+    nbr_kwargs = dict(
+        strategy=neighbor_strategy,
+        k_max=k_cap,
+        cutoff_upper=cutoff + skin,
+        cutoff_lower=float(rep.cutoff_lower),
+        loop=True,
+        box=box,
+    )
+    if neighbor_strategy == "cell":
+        nbr_kwargs["cells_per_dim"] = cells_per_dim
+
+    def build_nbr(pos):
+        return build_neighbor_matrix(pos, batch, **nbr_kwargs)
+
+    def energy(pos, nbr_idx, nbr_mask):
+        nbr = NeighborMatrix(
+            nbr_idx,
+            nbr_mask,
+            jnp.sum(nbr_mask, axis=1).astype(jnp.int32),
+            jnp.array(False),
+        )
+        y = potential.energy(
+            variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
+            nbr=nbr,
+        )
+        return jnp.sum(y)
+
+    grad_fn = jax.grad(energy, argnums=0)
+
+    def vv_step(state: MDState) -> MDState:
+        f = -grad_fn(state.pos, state.nbr_idx, state.nbr_mask)  # eV/Å
+        vel_half = state.vel + 0.5 * dt * f * inv_m * ACC_FACTOR
+        pos_new = state.pos + dt * vel_half
+        f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask)
+        vel_new = vel_half + 0.5 * dt * f2 * inv_m * ACC_FACTOR
+        if temperature is not None:
+            key, sub = jax.random.split(state.key)
+            c1 = jnp.exp(-gamma * dt)
+            sigma = jnp.sqrt(
+                VEL2_FACTOR * temperature * (1.0 - c1 * c1)
+            ) * jnp.sqrt(inv_m)
+            vel_new = c1 * vel_new + sigma * jax.random.normal(
+                sub, vel_new.shape, vel_new.dtype
+            )
+        else:
+            key = state.key
+        return MDState(
+            pos_new, vel_new, state.nbr_idx, state.nbr_mask, key,
+            state.step + 1, state.overflow,
+        )
+
+    def chunk(state: MDState) -> MDState:
+        nbr = build_nbr(state.pos)
+        state = state._replace(
+            nbr_idx=nbr.idx,
+            nbr_mask=nbr.mask,
+            overflow=state.overflow | nbr.overflow,
+        )
+        return jax.lax.fori_loop(
+            0, rebuild_every, lambda i, s: vv_step(s), state
+        )
+
+    def init_state(pos, vel=None, seed=0):
+        pos = jnp.asarray(pos)
+        nbr = build_nbr(pos)
+        key = jax.random.PRNGKey(seed)
+        if vel is None:
+            if temperature is not None:
+                key, sub = jax.random.split(key)
+                vel = maxwell_boltzmann_velocities(
+                    sub, masses, temperature, pos
+                )
+            else:
+                vel = jnp.zeros_like(pos)
+        return MDState(
+            pos, jnp.asarray(vel), nbr.idx, nbr.mask, key,
+            jnp.zeros((), jnp.int32), nbr.overflow,
+        )
+
+    return init_state, jax.jit(chunk), jax.jit(energy)
+
+
+def run_md(potential, variables, z, pos, masses, *, n_steps, dt=1.0,
+           batch=None, box=None, q=None, temperature=None, gamma=0.01,
+           rebuild_every=25, skin=1.0, seed=0, neighbor_strategy="brute",
+           cells_per_dim=None):
+    """Run ``n_steps`` of MD fully on device; returns the final
+    :class:`MDState` (check ``state.overflow``!)."""
+    n = pos.shape[0]
+    if batch is None:
+        batch = jnp.zeros((n,), jnp.int32)
+    init_state, chunk, _ = make_md_step(
+        potential, variables, jnp.asarray(z), batch, masses,
+        dt=dt, box=box, q=q, rebuild_every=rebuild_every, skin=skin,
+        temperature=temperature, gamma=gamma,
+        neighbor_strategy=neighbor_strategy, cells_per_dim=cells_per_dim,
+    )
+    state = init_state(pos, seed=seed)
+    for _ in range(max(n_steps // rebuild_every, 1)):
+        state = chunk(state)
+    jax.block_until_ready(state.pos)
+    return state

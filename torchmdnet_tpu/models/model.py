@@ -54,11 +54,12 @@ class TorchMDNet(nn.Module):
         q=None,
         s=None,
         extra_args: Optional[Dict[str, Any]] = None,
+        nbr=None,
     ):
         atom_mask = batch < num_mols
         x, v = self.representation_model(
             z, pos, batch, box=box, q=q, s=s, atom_mask=atom_mask,
-            num_mols=num_mols,
+            num_mols=num_mols, nbr=nbr,
         )
         if self.atom_filter > -1:
             # AtomFilter (reference wrappers.py:33-67): atoms with
@@ -103,25 +104,25 @@ class Potential:
         )
 
     def energy(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
-               s=None, extra_args=None):
+               s=None, extra_args=None, nbr=None):
         return self.module.apply(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q, s=s,
-            extra_args=extra_args,
+            extra_args=extra_args, nbr=nbr,
         )
 
     def apply(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
-              s=None, extra_args=None):
+              s=None, extra_args=None, nbr=None):
         if not self.derivative:
             y = self.energy(
                 variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
-                s=s, extra_args=extra_args,
+                s=s, extra_args=extra_args, nbr=nbr,
             )
             return y, None
 
         def etot(p):
             y = self.energy(
                 variables, z, p, batch, num_mols=num_mols, box=box, q=q, s=s,
-                extra_args=extra_args,
+                extra_args=extra_args, nbr=nbr,
             )
             return jnp.sum(y), y
 
