@@ -27,8 +27,64 @@ def pad_samples(
     max_atoms: int,
     max_mols: int,
     extra_atom_keys: Sequence[str] = (),
+    use_native: bool = False,
 ) -> Dict[str, np.ndarray]:
-    """Pack a list of dict samples into one padded batch dict."""
+    """Pack a list of dict samples into one padded batch dict.
+
+    ``use_native`` packs the atom-level fields in C++ (csrc/packer.cpp);
+    measured slower than numpy at typical batch sizes due to per-call
+    ctypes marshalling, so it is off by default — the fast native path is
+    :func:`torchmdnet_tpu.data._native.pack_from_memmap`, which the loader
+    uses automatically for memmapped datasets.
+    """
+    if use_native:
+        from torchmdnet_tpu.data._native import pack_batch_native
+
+        try:
+            native = pack_batch_native(samples, max_atoms, max_mols)
+        except ValueError:
+            raise
+        except Exception:
+            native = None
+        if native is not None:
+            out = native
+            has = {k: all(k in s for s in samples) for k in
+                   ("y", "q", "s", "dp", "box", "partial_charges")}
+            if has["y"]:
+                out["y"] = np.asarray(
+                    [float(np.asarray(s["y"]).reshape(())) for s in samples]
+                    + [0.0] * (max_mols - len(samples)), np.float32
+                ).reshape(max_mols, 1)
+            if has["q"]:
+                out["q"] = np.asarray(
+                    [float(np.asarray(s["q"]).reshape(())) for s in samples]
+                    + [0.0] * (max_mols - len(samples)), np.float32
+                )
+            if has["s"]:
+                out["s"] = np.asarray(
+                    [float(np.asarray(s["s"]).reshape(())) for s in samples]
+                    + [0.0] * (max_mols - len(samples)), np.float32
+                )
+            if has["dp"]:
+                dp = np.zeros((max_mols, 3), np.float32)
+                for m, smp in enumerate(samples):
+                    dp[m] = np.asarray(smp["dp"]).reshape(3)
+                out["dp"] = dp
+            if has["box"]:
+                box = np.zeros((max_mols, 3, 3), np.float32)
+                for m, smp in enumerate(samples):
+                    box[m] = np.asarray(smp["box"]).reshape(3, 3)
+                out["box"] = box
+            if has["partial_charges"]:
+                pc = np.zeros(max_atoms, np.float32)
+                o = 0
+                for smp in samples:
+                    n = len(smp["z"])
+                    pc[o:o + n] = np.asarray(
+                        smp["partial_charges"]).reshape(-1)
+                    o += n
+                out["partial_charges"] = pc
+            return out
     n_mols = len(samples)
     assert n_mols <= max_mols, f"{n_mols} molecules > max_mols={max_mols}"
     total_atoms = sum(len(s["z"]) for s in samples)
@@ -144,14 +200,48 @@ class PaddedLoader:
     def set_epoch(self, epoch: int):
         self._epoch = int(epoch)
 
+    def _memmap_base(self):
+        """(base MemmappedDataset, index remap) when the direct C++
+        memmap→batch path applies (no transforms in the chain)."""
+        from torchmdnet_tpu.datasets.memdataset import (
+            MemmappedDataset,
+            Subset,
+        )
+
+        ds = self.dataset
+        remap = None
+        if isinstance(ds, Subset):
+            remap = ds.indices
+            ds = ds.dataset
+        if isinstance(ds, MemmappedDataset) and ds.transform is None:
+            return ds, remap
+        return None, None
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self.indices
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             order = rng.permutation(order)
+        base, remap = self._memmap_base()
+        if base is not None:
+            from torchmdnet_tpu.data._native import (
+                native_available,
+                pack_from_memmap,
+            )
+
+            if not native_available():
+                base = None
         for start in range(0, len(order), self.batch_size):
             chunk = order[start:start + self.batch_size]
             if self.drop_last and len(chunk) < self.batch_size:
                 break
+            if base is not None:
+                ids = remap[chunk] if remap is not None else chunk
+                batch = pack_from_memmap(
+                    base, ids, self.max_atoms, self.batch_size
+                )
+                if batch is not None:
+                    yield batch
+                    continue
             samples = [self.dataset[int(i)] for i in chunk]
             yield pad_samples(samples, self.max_atoms, self.batch_size)
