@@ -61,6 +61,12 @@ class TorchMDNet(nn.Module):
             z, pos, batch, box=box, q=q, s=s, atom_mask=atom_mask,
             num_mols=num_mols, nbr=nbr,
         )
+        # the head (output MLP, priors, reductions) always runs in ≥f32,
+        # even when the representation computes in bf16
+        if x.dtype == jnp.bfloat16:
+            x = x.astype(jnp.float32)
+        if v is not None and v.dtype == jnp.bfloat16:
+            v = v.astype(jnp.float32)
         if self.atom_filter > -1:
             # AtomFilter (reference wrappers.py:33-67): atoms with
             # Z <= atom_filter are dropped after the representation; with
@@ -184,7 +190,12 @@ def create_prior_models(args: dict, dataset=None) -> Tuple[nn.Module, ...]:
 
 def _make_representation(args: dict):
     model_name = args["model"]
+    # precision=16 selects bf16 compute (params stay f32) — the TPU-native
+    # analogue of the reference's fp16 training mode; 32/64 keep the input
+    # dtype (f64 via jax_enable_x64).
+    compute_dtype = jnp.bfloat16 if args.get("precision", 32) == 16 else None
     shared = dict(
+        dtype=compute_dtype,
         hidden_channels=args["embedding_dimension"],
         num_layers=args["num_layers"],
         num_rbf=args["num_rbf"],

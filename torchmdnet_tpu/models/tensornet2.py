@@ -27,6 +27,7 @@ from torchmdnet_tpu.models.tensornet import (
     linear_irreps,
 )
 from torchmdnet_tpu.ops import rbf as rbf_ops
+from torchmdnet_tpu.ops.message_passing import gather_nodes, reverse_slots
 from torchmdnet_tpu.ops.neighbors import (
     NeighborMatrix,
     build_neighbor_matrix,
@@ -98,9 +99,11 @@ class Interaction2(nn.Module):
 
     @nn.compact
     def __call__(self, X: Irreps, charges, nbr: NeighborMatrix, edge_weight,
-                 edge_attr):
+                 edge_attr, rev_slot=None):
         from torchmdnet_tpu.models.common import Linear
 
+        if rev_slot is None:
+            rev_slot = reverse_slots(nbr.idx, nbr.mask)
         F = self.hidden_channels
         act = get_activation(self.activation)
         C = rbf_ops.cosine_cutoff(edge_weight, self.cutoff_upper, self.cutoff_lower)
@@ -108,7 +111,7 @@ class Interaction2(nn.Module):
         k = nbr.idx.shape[1]
         q_i = jnp.broadcast_to(charges[:, None, :], (charges.shape[0], k,
                                                      charges.shape[1]))
-        q_j = charges[nbr.idx]
+        q_j = gather_nodes(charges, nbr.idx, rev_slot, nbr.mask)
         attr = jnp.concatenate([edge_attr, q_i, q_j], axis=-1)
         attr = act(Linear(F, name="linears_scalar_0", dtype=self.dtype)(attr))
         attr = act(Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)(attr))
@@ -123,7 +126,7 @@ class Interaction2(nn.Module):
             X, ["linears_tensor_0", "linears_tensor_1", "linears_tensor_2"],
             dtype=self.dtype,
         )
-        M = edge_message_passing(attr, Y, nbr.idx)
+        M = edge_message_passing(attr, Y, nbr, rev_slot)
 
         Yf = compose_tensor(Y)
         Mf = compose_tensor(M)
@@ -200,6 +203,7 @@ class TensorNet2(nn.Module):
             num_mols = int(batch.shape[0])  # safe upper bound
         if nbr is None:
             nbr = self.build_neighbors(pos, batch, box=box, atom_mask=atom_mask)
+        rev_slot = reverse_slots(nbr.idx, nbr.mask)
         delta, dist = neighbor_geometry(pos, nbr, box=box, batch=batch)
 
         # Per-atom total charge Q (reference :376-380).
@@ -226,7 +230,7 @@ class TensorNet2(nn.Module):
             max_z=self.max_z,
             name="tensor_embedding",
             dtype=self.dtype,
-        )(z, nbr, dist, edge_vec_norm, edge_attr)
+        )(z, nbr, dist, edge_vec_norm, edge_attr, rev_slot)
 
         charges = ChargePredict(
             hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
@@ -245,7 +249,7 @@ class TensorNet2(nn.Module):
                 equivariance_invariance_group=self.equivariance_invariance_group,
                 name=f"layers_{i}",
                 dtype=self.dtype,
-            )(X, charges, nbr, dist, edge_attr)
+            )(X, charges, nbr, dist, edge_attr, rev_slot)
             charges = ChargePredict(
                 hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
                 name=f"charge_predicts_{i}",
