@@ -117,7 +117,6 @@ class Interaction2(nn.Module):
         attr = act(Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)(attr))
         attr = act(Linear(3 * F, name="linears_scalar_2", dtype=self.dtype)(attr))
         attr = attr * (C * nbr.mask.astype(attr.dtype))[..., None]
-        attr = attr.reshape(attr.shape[0], attr.shape[1], 3, F)
 
         normp1 = tensor_frobenius_norm2(X) + 1.0
         X = Irreps(X.I / normp1, X.A / normp1[:, None, :], X.S / normp1[:, None, :])

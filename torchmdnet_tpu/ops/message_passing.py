@@ -78,3 +78,119 @@ def gather_nodes_ref(x, idx, mask):
     """Oracle with the default scatter-add transpose (tests / asymmetric
     edge sets)."""
     return jnp.where(mask[..., None], x[idx], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fused packed neighbor sum (TensorNet message passing at scale)
+# ---------------------------------------------------------------------------
+
+def _expand_w9(attr3f):
+    """[..., 3F] edge factors → [..., 9F] irrep-block weights
+    (I×1, A×3, S×5)."""
+    f = attr3f.shape[-1] // 3
+    w0 = attr3f[..., :f]
+    w1 = attr3f[..., f:2 * f]
+    w2 = attr3f[..., 2 * f:]
+    return jnp.concatenate([w0, w1, w1, w1, w2, w2, w2, w2, w2], axis=-1)
+
+
+def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024):
+    """Rows per chunk so the transient [C, K, 9F] block stays in budget."""
+    per_row = k * c9 * 4
+    c = max(budget_bytes // per_row, 8)
+    c = min(c, n)
+    while n % c:
+        c -= 1
+    return c
+
+
+@jax.custom_vjp
+def packed_neighbor_sum(attr3f, feats9, idx, rev_slot, mask):
+    """msg[n] = Σ_k expand9(attr3f[n,k]) ⊙ feats9[idx[n,k]]  → [N, 9F].
+
+    The [N, K, 9F] edge block never materializes globally: the reduction is
+    chunked over output rows with ``lax.map`` (≤256 MB transients), and the
+    backward uses the same reverse-gather trick as :func:`gather_nodes`, so
+    this scales to the 25k-atom MD systems without OOM and without scatter.
+    ``attr3f`` must already carry the cutoff/pad mask.
+    """
+    return _pns_impl(attr3f, feats9, idx, rev_slot, mask)
+
+
+def _pns_impl(attr3f, feats9, idx, rev_slot, mask):
+    n, k, c3 = attr3f.shape
+    c9 = 3 * c3
+    chunk = _row_chunks(n, k, c9)
+
+    def one(args):
+        attr_c, idx_c, mask_c = args
+        w9 = _expand_w9(attr_c)
+        xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)
+        return jnp.sum(w9 * xj, axis=1)
+
+    out = jax.lax.map(
+        one,
+        (
+            attr3f.reshape(n // chunk, chunk, k, c3),
+            idx.reshape(n // chunk, chunk, k),
+            mask.reshape(n // chunk, chunk, k),
+        ),
+    )
+    return out.reshape(n, c9)
+
+
+def _pns_fwd(attr3f, feats9, idx, rev_slot, mask):
+    return packed_neighbor_sum(attr3f, feats9, idx, rev_slot, mask), (
+        attr3f, feats9, idx, rev_slot, mask
+    )
+
+
+def _pns_bwd(res, g):
+    attr3f, feats9, idx, rev_slot, mask = res
+    n, k, c3 = attr3f.shape
+    f = c3 // 3
+    chunk = _row_chunks(n, k, 3 * c3)
+
+    def one(args):
+        attr_c, idx_c, rev_c, mask_c, g_c = args
+        # ∂attr: g[n] ⊙ feats[idx[n,k]], folded back over the irrep blocks
+        xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)
+        gx = g_c[:, None, :] * xj  # [C, K, 9F]
+        d0 = gx[..., :f]
+        d1 = gx[..., f:2 * f] + gx[..., 2 * f:3 * f] + gx[..., 3 * f:4 * f]
+        d2 = (
+            gx[..., 4 * f:5 * f]
+            + gx[..., 5 * f:6 * f]
+            + gx[..., 6 * f:7 * f]
+            + gx[..., 7 * f:8 * f]
+            + gx[..., 8 * f:]
+        )
+        dattr_c = jnp.concatenate([d0, d1, d2], axis=-1)
+        # ∂feats[j] = Σ_k' w9[i, s] ⊙ g[i],  (i, s) = reverse of (j, k')
+        w_rev = _expand_w9(attr3f[idx_c, rev_c])  # [C, K, 9F]
+        g_rev = g[idx_c]
+        dfeats_c = jnp.sum(
+            jnp.where(mask_c[..., None], w_rev * g_rev, 0.0), axis=1
+        )
+        return dattr_c, dfeats_c
+
+    dattr, dfeats = jax.lax.map(
+        one,
+        (
+            attr3f.reshape(n // chunk, chunk, k, c3),
+            idx.reshape(n // chunk, chunk, k),
+            rev_slot.reshape(n // chunk, chunk, k),
+            mask.reshape(n // chunk, chunk, k),
+            g.reshape(n // chunk, chunk, -1),
+        ),
+    )
+    return (
+        dattr.reshape(n, k, c3),
+        dfeats.reshape(n, -1),
+        None,
+        None,
+        None,
+    )
+
+
+packed_neighbor_sum.defvjp(_pns_fwd, _pns_bwd)
