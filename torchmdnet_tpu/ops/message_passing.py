@@ -71,6 +71,10 @@ def _gn_bwd(res, ct):
     return jnp.sum(gather_rev(ct, idx, rev_slot, mask), axis=1), None, None, None
 
 
+def _cast_like(x, ref_dtype):
+    return x if x.dtype == ref_dtype else x.astype(ref_dtype)
+
+
 gather_nodes.defvjp(_gn_fwd, _gn_bwd)
 
 
@@ -118,6 +122,10 @@ def packed_neighbor_sum(attr3f, feats9, idx, rev_slot, mask):
 
 
 def _pns_impl(attr3f, feats9, idx, rev_slot, mask):
+    if attr3f.dtype != feats9.dtype:
+        ct = jnp.promote_types(attr3f.dtype, feats9.dtype)
+        attr3f = attr3f.astype(ct)
+        feats9 = feats9.astype(ct)
     n, k, c3 = attr3f.shape
     c9 = 3 * c3
     chunk = _row_chunks(n, k, c9)
@@ -185,8 +193,8 @@ def _pns_bwd(res, g):
         ),
     )
     return (
-        dattr.reshape(n, k, c3),
-        dfeats.reshape(n, -1),
+        _cast_like(dattr.reshape(n, k, c3), attr3f.dtype),
+        _cast_like(dfeats.reshape(n, -1), feats9.dtype),
         None,
         None,
         None,
