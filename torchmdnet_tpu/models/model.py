@@ -212,6 +212,7 @@ def _make_representation(args: dict):
 
         return TensorNet(
             equivariance_invariance_group=args["equivariance_invariance_group"],
+            remat=bool(args.get("remat", False)),
             **shared,
         ), False
     if model_name == "tensornet2":
@@ -221,6 +222,7 @@ def _make_representation(args: dict):
             equivariance_invariance_group=args["equivariance_invariance_group"],
             q_dim=args.get("q_dim", 0),
             output_charges="Coul" in args["output_model"],
+            remat=bool(args.get("remat", False)),
             **shared,
         ), False
     if model_name == "equivariant-transformer":

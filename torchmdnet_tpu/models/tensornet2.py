@@ -167,6 +167,7 @@ class TensorNet2(nn.Module):
     output_charges: bool = False
     neighbor_strategy: str = "brute"
     dtype: Optional[jnp.dtype] = None
+    remat: bool = False
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
         return build_neighbor_matrix(
@@ -220,7 +221,11 @@ class TensorNet2(nn.Module):
         safe_w = jnp.where(dist > 0, dist, 1.0)
         edge_vec_norm = delta / safe_w[..., None]
 
-        X = TensorEmbedding(
+        EmbeddingCls = (
+            nn.remat(TensorEmbedding) if self.remat else TensorEmbedding
+        )
+        Interaction2Cls = nn.remat(Interaction2) if self.remat else Interaction2
+        X = EmbeddingCls(
             hidden_channels=F,
             num_rbf=self.num_rbf,
             activation=self.activation,
@@ -238,7 +243,7 @@ class TensorNet2(nn.Module):
         charge_list = [charges]
 
         for i in range(self.num_layers):
-            X = Interaction2(
+            X = Interaction2Cls(
                 hidden_channels=F,
                 num_rbf=self.num_rbf,
                 q_dim=self.q_dim,
