@@ -290,10 +290,15 @@ def _cell_neighbor_matrix_impl(
     cand_valid = cand < n
     cand_safe = jnp.minimum(cand, n - 1)
 
-    delta = pos[:, None, :] - pos[cand_safe]
-    # Orthogonal minimum image.
-    delta = delta - jnp.round(delta / box_diag[None, None, :]) * box_diag[None, None, :]
-    d2 = jnp.sum(delta * delta, axis=-1)
+    # Distances per coordinate component: gathering pos[cand] as [N, C, 3]
+    # would put the length-3 axis on the 128-lane dimension (42× padding,
+    # OOM at 25k atoms); [N, C] per component keeps lanes dense.
+    d2 = jnp.zeros(cand_safe.shape, pos.dtype)
+    for c in range(3):
+        pc = pos[:, c]
+        dc = pc[:, None] - pc[cand_safe]
+        dc = dc - jnp.round(dc / box_diag[c]) * box_diag[c]
+        d2 = d2 + dc * dc
 
     is_self = cand_safe == arange[:, None]
     adj = cand_valid & (d2 < cutoff_upper * cutoff_upper)
