@@ -100,7 +100,46 @@ class Trainer:
         self.hp = dict(hparams)
         self.dm = datamodule
         self.log_dir = self.hp.get("log_dir", "/tmp/logs")
+        # CSV always on; W&B / TensorBoard opt-in (reference
+        # scripts/train.py:229-246), gated on package availability.
         self.logger = CSVLogger(self.log_dir)
+        self.extra_loggers = []
+        if self.hp.get("wandb_use"):
+            try:
+                import wandb
+
+                wandb.init(
+                    project=self.hp.get("wandb_project", "training_"),
+                    name=self.hp.get("wandb_name", "training"),
+                    id=self.hp.get("wandb_resume_from_id"),
+                    resume="must" if self.hp.get("wandb_resume_from_id")
+                    else None,
+                    config=self.hp,
+                )
+                self.extra_loggers.append(lambda row: wandb.log(row))
+            except ImportError:
+                import warnings
+
+                warnings.warn("wandb_use=True but wandb is not installed")
+        if self.hp.get("tensorboard_use"):
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                writer = SummaryWriter(self.log_dir)
+
+                def tb_log(row, _w=writer):
+                    step = int(row.get("epoch", 0))
+                    for k, v in row.items():
+                        if isinstance(v, (int, float)):
+                            _w.add_scalar(k, v, step)
+
+                self.extra_loggers.append(tb_log)
+            except ImportError:
+                import warnings
+
+                warnings.warn(
+                    "tensorboard_use=True but tensorboard is not installed"
+                )
         self.plateau = ReduceLROnPlateau(
             factor=self.hp.get("lr_factor", 0.8),
             patience=self.hp.get("lr_patience", 10),
@@ -236,6 +275,8 @@ class Trainer:
             for key, vals in vmetrics.items():
                 row[f"val_{key}"] = float(np.mean(jax.device_get(vals)))
             self.logger.log(row)
+            for log_fn in self.extra_loggers:
+                log_fn(row)
 
             monitor_val = row.get(self.monitor, row.get(
                 f"val_total_{train_loss_name}", row[
