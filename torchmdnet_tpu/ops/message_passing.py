@@ -130,11 +130,26 @@ def _pns_impl(attr3f, feats9, idx, rev_slot, mask):
     c9 = 3 * c3
     chunk = _row_chunks(n, k, c9)
 
+    f = c3 // 3
+
     def one(args):
         attr_c, idx_c, mask_c = args
-        w9 = _expand_w9(attr_c)
         xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)
-        return jnp.sum(w9 * xj, axis=1)
+        w0 = attr_c[..., :f]
+        w1 = attr_c[..., f:2 * f]
+        w2 = attr_c[..., 2 * f:]
+        # blockwise multiply-reduce — building the [C, K, 9F] w9 tensor
+        # would add a 2× HBM round-trip over the largest array here
+        blocks = [jnp.sum(w0 * xj[..., :f], axis=1)]
+        for d in range(3):
+            blocks.append(
+                jnp.sum(w1 * xj[..., (1 + d) * f:(2 + d) * f], axis=1)
+            )
+        for c in range(5):
+            blocks.append(
+                jnp.sum(w2 * xj[..., (4 + c) * f:(5 + c) * f], axis=1)
+            )
+        return jnp.concatenate(blocks, axis=-1)
 
     out = jax.lax.map(
         one,
@@ -163,23 +178,30 @@ def _pns_bwd(res, g):
         attr_c, idx_c, rev_c, mask_c, g_c = args
         # ∂attr: g[n] ⊙ feats[idx[n,k]], folded back over the irrep blocks
         xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)
-        gx = g_c[:, None, :] * xj  # [C, K, 9F]
-        d0 = gx[..., :f]
-        d1 = gx[..., f:2 * f] + gx[..., 2 * f:3 * f] + gx[..., 3 * f:4 * f]
-        d2 = (
-            gx[..., 4 * f:5 * f]
-            + gx[..., 5 * f:6 * f]
-            + gx[..., 6 * f:7 * f]
-            + gx[..., 7 * f:8 * f]
-            + gx[..., 8 * f:]
-        )
+        gb = [g_c[:, None, b * f:(b + 1) * f] for b in range(9)]
+        d0 = gb[0] * xj[..., :f]
+        d1 = sum(gb[1 + d] * xj[..., (1 + d) * f:(2 + d) * f]
+                 for d in range(3))
+        d2 = sum(gb[4 + c] * xj[..., (4 + c) * f:(5 + c) * f]
+                 for c in range(5))
         dattr_c = jnp.concatenate([d0, d1, d2], axis=-1)
         # ∂feats[j] = Σ_k' w9[i, s] ⊙ g[i],  (i, s) = reverse of (j, k')
-        w_rev = _expand_w9(attr3f[idx_c, rev_c])  # [C, K, 9F]
-        g_rev = g[idx_c]
-        dfeats_c = jnp.sum(
-            jnp.where(mask_c[..., None], w_rev * g_rev, 0.0), axis=1
-        )
+        w_rev = attr3f[idx_c, rev_c]  # [C, K, 3F]
+        g_rev = g[idx_c]  # [C, K, 9F]
+        mask_e = mask_c[..., None]
+        w0 = jnp.where(mask_e, w_rev[..., :f], 0.0)
+        w1 = jnp.where(mask_e, w_rev[..., f:2 * f], 0.0)
+        w2 = jnp.where(mask_e, w_rev[..., 2 * f:], 0.0)
+        blocks = [jnp.sum(w0 * g_rev[..., :f], axis=1)]
+        for d in range(3):
+            blocks.append(
+                jnp.sum(w1 * g_rev[..., (1 + d) * f:(2 + d) * f], axis=1)
+            )
+        for c in range(5):
+            blocks.append(
+                jnp.sum(w2 * g_rev[..., (4 + c) * f:(5 + c) * f], axis=1)
+            )
+        dfeats_c = jnp.concatenate(blocks, axis=-1)
         return dattr_c, dfeats_c
 
     dattr, dfeats = jax.lax.map(
