@@ -92,6 +92,26 @@ class Linear(nn.Module):
         return y
 
 
+class LinearParams(nn.Module):
+    """Parameter holder with Linear-compatible naming (kernel/bias) for ops
+    that consume raw weights (e.g. the Pallas fused edge MLP)."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init,
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", make_torch_bias_init(self.in_features),
+            (self.features,), jnp.float32,
+        )
+        return kernel, bias
+
+
 class Embedding(nn.Module):
     """Torch-default (N(0,1)) embedding lookup; param name ``embedding``."""
 

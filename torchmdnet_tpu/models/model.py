@@ -213,6 +213,7 @@ def _make_representation(args: dict):
         return TensorNet(
             equivariance_invariance_group=args["equivariance_invariance_group"],
             remat=bool(args.get("remat", False)),
+            pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
             **shared,
         ), False
     if model_name == "tensornet2":

@@ -1,0 +1,93 @@
+"""Pallas TPU kernels for the hot edge pipeline.
+
+``fused_edge_mlp(x, cw, w1, b1, w2, b2, w3, b3)``: the per-edge 3-layer
+silu MLP + cutoff/pad mask of every TensorNet interaction layer (reference
+``Interaction.linears_scalar``, ``tensornet.py:739-743``) in one kernel.
+XLA's lowering round-trips each intermediate ([N,K,F], [N,K,2F]) through
+HBM; the kernel runs the whole chain in VMEM per edge tile and writes only
+the final [N, K, 3F] block.
+
+Backward: recompute through the numerically identical jnp chain (both use
+f32 HIGHEST matmuls), so training gradients are exact and no bwd kernel is
+needed.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 8
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _dot(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_HI,
+    )
+
+
+def _edge_mlp_kernel(x_ref, cw_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
+                     b3_ref, out_ref, *, k, cin, f3):
+    x = x_ref[:].reshape(TILE_N * k, cin)
+    h = jax.nn.silu(_dot(x, w1_ref[:]) + b1_ref[:][None, :])
+    h = jax.nn.silu(_dot(h, w2_ref[:]) + b2_ref[:][None, :])
+    h = jax.nn.silu(_dot(h, w3_ref[:]) + b3_ref[:][None, :])
+    h = h * cw_ref[:].reshape(TILE_N * k, 1)
+    out_ref[:] = h.reshape(TILE_N, k, f3)
+
+
+def edge_mlp_jnp(x, cw, w1, b1, w2, b2, w3, b3):
+    """Reference jnp chain — identical numerics, used for bwd + fallback."""
+    h = jax.nn.silu(jnp.einsum("nkr,rf->nkf", x, w1, precision=_HI) + b1)
+    h = jax.nn.silu(jnp.einsum("nkf,fg->nkg", h, w2, precision=_HI) + b2)
+    h = jax.nn.silu(jnp.einsum("nkg,gh->nkh", h, w3, precision=_HI) + b3)
+    return h * cw[..., None]
+
+
+def _forward(x, cw, w1, b1, w2, b2, w3, b3, interpret=False):
+    n, k, cin = x.shape
+    f3 = w3.shape[1]
+    if n % TILE_N or x.dtype != jnp.float32:
+        return edge_mlp_jnp(x, cw, w1, b1, w2, b2, w3, b3)
+    kernel = functools.partial(_edge_mlp_kernel, k=k, cin=cin, f3=f3)
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // TILE_N,),
+        in_specs=[
+            pl.BlockSpec((TILE_N, k, cin), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            vmem, vmem, vmem, vmem, vmem, vmem,
+        ],
+        out_specs=pl.BlockSpec((TILE_N, k, f3), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, k, f3), jnp.float32),
+        interpret=interpret,
+    )(x, cw, w1, b1, w2, b2, w3, b3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def fused_edge_mlp(x, cw, w1, b1, w2, b2, w3, b3, interpret=False):
+    """Fused edge MLP; set ``interpret=True`` to run the kernel in
+    interpreter mode (CPU tests)."""
+    return _forward(x, cw, w1, b1, w2, b2, w3, b3, interpret)
+
+
+def _fwd(x, cw, w1, b1, w2, b2, w3, b3, interpret):
+    return fused_edge_mlp(x, cw, w1, b1, w2, b2, w3, b3, interpret), (
+        x, cw, w1, b1, w2, b2, w3, b3
+    )
+
+
+def _bwd(interpret, res, g):
+    _, vjp = jax.vjp(edge_mlp_jnp, *res)
+    return vjp(g)
+
+
+fused_edge_mlp.defvjp(_fwd, _bwd)
