@@ -67,6 +67,7 @@ def main():
         precision=32,
         equivariance_invariance_group="O(3)",
         atom_filter=-1,
+        pallas_edge_mlp=True,
     )
     pot = create_model(args)
     z, pos, seg, box = build_system(N_ATOMS, N_PAD)

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE_N = 8
+TILE_N = 16
 _HI = jax.lax.Precision.HIGHEST
 
 
@@ -36,8 +36,9 @@ def _edge_mlp_kernel(x_ref, cw_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
     h = jax.nn.silu(_dot(x, w1_ref[:]) + b1_ref[:][None, :])
     h = jax.nn.silu(_dot(h, w2_ref[:]) + b2_ref[:][None, :])
     h = jax.nn.silu(_dot(h, w3_ref[:]) + b3_ref[:][None, :])
-    h = h * cw_ref[:].reshape(TILE_N * k, 1)
-    out_ref[:] = h.reshape(TILE_N, k, f3)
+    # apply the cutoff/pad mask in the tiled shape — reshaping cw to
+    # [E, 1] would move lanes into sublanes (unsupported tpu.reshape)
+    out_ref[:] = h.reshape(TILE_N, k, f3) * cw_ref[:][..., None]
 
 
 def edge_mlp_jnp(x, cw, w1, b1, w2, b2, w3, b3):
@@ -86,8 +87,47 @@ def _fwd(x, cw, w1, b1, w2, b2, w3, b3, interpret):
 
 
 def _bwd(interpret, res, g):
-    _, vjp = jax.vjp(edge_mlp_jnp, *res)
-    return vjp(g)
+    x, cw, w1, b1, w2, b2, w3, b3 = res
+    n, k, _ = x.shape
+    # row-chunked recompute: the full-width vjp holds every [N,K,*]
+    # intermediate simultaneously (OOM at 25k atoms)
+    chunk = n
+    per_row = k * (w3.shape[1] * 3) * 4 * 6  # rough live-bytes/row in vjp
+    budget = 2 * 1024**3
+    chunk = max(min(n, budget // per_row), 8)
+    while n % chunk:
+        chunk -= 1
+    if chunk == n:
+        _, vjp = jax.vjp(edge_mlp_jnp, *res)
+        return vjp(g)
+
+    def one(args):
+        x_c, cw_c, g_c = args
+        _, vjp = jax.vjp(
+            lambda xx, cc, *w: edge_mlp_jnp(xx, cc, *w), x_c, cw_c,
+            w1, b1, w2, b2, w3, b3,
+        )
+        return vjp(g_c)
+
+    outs = jax.lax.map(
+        one,
+        (
+            x.reshape(n // chunk, chunk, *x.shape[1:]),
+            cw.reshape(n // chunk, chunk, k),
+            g.reshape(n // chunk, chunk, *g.shape[1:]),
+        ),
+    )
+    dx, dcw, dw1, db1, dw2, db2, dw3, db3 = outs
+    return (
+        dx.reshape(x.shape),
+        dcw.reshape(cw.shape),
+        jnp.sum(dw1, axis=0),
+        jnp.sum(db1, axis=0),
+        jnp.sum(dw2, axis=0),
+        jnp.sum(db2, axis=0),
+        jnp.sum(dw3, axis=0),
+        jnp.sum(db3, axis=0),
+    )
 
 
 fused_edge_mlp.defvjp(_fwd, _bwd)

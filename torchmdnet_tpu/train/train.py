@@ -15,6 +15,12 @@ def main(argv=None):
 
     args = get_args(argv)
     hp = vars(args)
+    if int(hp.get("num_nodes", 1) or 1) > 1:
+        # multi-host rendezvous (replaces the reference's NODE_RANK/
+        # MASTER_ADDR NCCL setup, README.md:121-144)
+        import jax
+
+        jax.distributed.initialize()
     np.random.seed(hp.get("seed", 1))
 
     data = DataModule(hp)

@@ -155,6 +155,11 @@ class Trainer:
         self.state: Optional[TrainState] = None
         self._train_step = None
         self._eval_step = None
+        # data parallelism: ngpus device replicas (reference: Lightning DDP,
+        # scripts/train.py:252-258); -1 = all local devices, 1 = off
+        ngpus = int(self.hp.get("ngpus", 1) or 1)
+        avail = len(jax.devices())
+        self.n_devices = avail if ngpus == -1 else min(max(ngpus, 1), avail)
 
     # -- setup ----------------------------------------------------------
     def _init_state(self, example_batch):
@@ -187,8 +192,7 @@ class Trainer:
             lr=self.hp["lr"],
             weight_decay=self.hp.get("weight_decay", 0.0),
         )
-        step = make_train_step(
-            pot,
+        step_kwargs = dict(
             num_mols=num_mols,
             lr=self.hp["lr"],
             weight_decay=self.hp.get("weight_decay", 0.0),
@@ -199,7 +203,19 @@ class Trainer:
             ema_alpha_neg_dy=self.hp.get("ema_alpha_neg_dy", 1.0),
             train_loss=self.hp.get("train_loss", "mse_loss"),
         )
-        self._train_step = jax.jit(step, donate_argnums=0)
+        if self.n_devices > 1:
+            from torchmdnet_tpu.parallel.dp import (
+                make_data_parallel_train_step,
+                make_mesh,
+            )
+
+            self._mesh = make_mesh(self.n_devices)
+            self._train_step = make_data_parallel_train_step(
+                pot, self._mesh, **step_kwargs
+            )
+        else:
+            step = make_train_step(pot, **step_kwargs)
+            self._train_step = jax.jit(step, donate_argnums=0)
 
         def eval_step(params, batch, loss_name):
             from torchmdnet_tpu.train.step import compute_losses
@@ -213,6 +229,27 @@ class Trainer:
             name: jax.jit(lambda p, b, n=name: eval_step(p, b, n))
             for name in ("l1_loss", self.hp.get("train_loss", "mse_loss"))
         }
+
+    def _iter_train(self, loader):
+        """Yield device batches; with n_devices > 1, stack per-device
+        batches along a leading axis and shard over the mesh."""
+        if self.n_devices == 1:
+            for batch in loader:
+                yield self._to_device_batch(batch)
+            return
+        from torchmdnet_tpu.parallel.dp import shard_batch
+
+        group = []
+        for batch in loader:
+            group.append(batch)
+            if len(group) == self.n_devices:
+                stacked = {
+                    k: jnp.stack([jnp.asarray(b[k]) for b in group])
+                    for k in group[0]
+                }
+                yield shard_batch(self._mesh, stacked)
+                group = []
+        # remainder dropped (replicas must stay in lockstep)
 
     def _to_device_batch(self, batch):
         out = {}
@@ -243,9 +280,9 @@ class Trainer:
             train_loader.set_epoch(epoch)
             # train
             tmetrics = defaultdict(list)
-            for batch in train_loader:
+            for batch in self._iter_train(train_loader):
                 self.state, metrics = self._train_step(
-                    self.state, self._to_device_batch(batch)
+                    self.state, batch
                 )
                 tmetrics["loss"].append(metrics["loss"])
                 tmetrics["loss_y"].append(metrics["loss_y"])
