@@ -133,3 +133,21 @@ def test_data_parallel_train_step(n_dev):
     # params must remain replica-identical (pmean'd grads)
     leaf = jax.tree_util.tree_leaves(state2.params)[0]
     assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_gradient_clipping_step():
+    rng = np.random.RandomState(3)
+    pot = create_model(_args())
+    batch = _random_batch(rng)
+    variables = pot.init(
+        jax.random.PRNGKey(0), batch["z"], batch["pos"], batch["batch"],
+        num_mols=2,
+    )
+    state = create_train_state(variables["params"], lr=1e-3,
+                               gradient_clipping=1.0)
+    step = jax.jit(make_train_step(
+        pot, num_mols=2, lr=1e-3, gradient_clipping=1.0,
+    ))
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))

@@ -27,15 +27,23 @@ class TrainState(NamedTuple):
     ema_neg_dy: jnp.ndarray
 
 
-def make_optimizer(weight_decay: float):
-    """AdamW with injected learning rate (reference ``module.py:120-127``)."""
-    return optax.inject_hyperparams(optax.adamw)(
+def make_optimizer(weight_decay: float, gradient_clipping: float = 0.0):
+    """AdamW with injected learning rate (reference ``module.py:120-127``);
+    optional global-norm gradient clipping (reference
+    ``scripts/train.py:263`` Trainer(gradient_clip_val=...))."""
+    adamw = optax.inject_hyperparams(optax.adamw)(
         learning_rate=0.0, weight_decay=weight_decay
     )
+    if gradient_clipping and gradient_clipping > 0:
+        return optax.chain(
+            optax.clip_by_global_norm(gradient_clipping), adamw
+        )
+    return adamw
 
 
-def create_train_state(params, *, lr: float, weight_decay: float = 0.0):
-    opt = make_optimizer(weight_decay)
+def create_train_state(params, *, lr: float, weight_decay: float = 0.0,
+                       gradient_clipping: float = 0.0):
+    opt = make_optimizer(weight_decay, gradient_clipping)
     return TrainState(
         params=params,
         opt_state=opt.init(params),
@@ -96,6 +104,7 @@ def make_train_step(
     train_loss: str = "mse_loss",
     axis_name: Optional[str] = None,
     remat: bool = False,
+    gradient_clipping: float = 0.0,
 ):
     """Build a pure ``(state, batch) -> (state, metrics)`` step.
 
@@ -103,7 +112,8 @@ def make_train_step(
     ``shard_map``/``pmap`` over that mesh axis: losses and gradients are
     ``pmean``-ed across devices (DDP all-reduce equivalent, SURVEY §2.5).
     """
-    opt = make_optimizer(weight_decay)
+    opt = make_optimizer(weight_decay, gradient_clipping)
+    clipped = bool(gradient_clipping and gradient_clipping > 0)
 
     def loss_and_state(params, ema_y, ema_neg_dy, batch):
         compute = compute_losses
@@ -150,7 +160,8 @@ def make_train_step(
         else:
             scale = 1.0
         opt_state = state.opt_state
-        opt_state.hyperparams["learning_rate"] = state.base_lr * scale
+        inner = opt_state[1] if clipped else opt_state
+        inner.hyperparams["learning_rate"] = state.base_lr * scale
         updates, new_opt_state = opt.update(grads, opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(

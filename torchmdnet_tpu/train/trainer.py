@@ -191,6 +191,7 @@ class Trainer:
             variables["params"],
             lr=self.hp["lr"],
             weight_decay=self.hp.get("weight_decay", 0.0),
+            gradient_clipping=self.hp.get("gradient_clipping", 0.0) or 0.0,
         )
         step_kwargs = dict(
             num_mols=num_mols,
@@ -202,6 +203,7 @@ class Trainer:
             ema_alpha_y=self.hp.get("ema_alpha_y", 1.0),
             ema_alpha_neg_dy=self.hp.get("ema_alpha_neg_dy", 1.0),
             train_loss=self.hp.get("train_loss", "mse_loss"),
+            gradient_clipping=self.hp.get("gradient_clipping", 0.0) or 0.0,
         )
         if self.n_devices > 1:
             from torchmdnet_tpu.parallel.dp import (
@@ -311,6 +313,25 @@ class Trainer:
                 )
             for key, vals in vmetrics.items():
                 row[f"val_{key}"] = float(np.mean(jax.device_get(vals)))
+
+            # periodic in-training test pass (reference val-as-test trick,
+            # module.py:161-177 / data.py:86-93)
+            test_interval = hp.get("test_interval", -1) or -1
+            if (
+                test_interval > 0
+                and epoch > 0
+                and epoch % test_interval == 0
+            ):
+                tst = defaultdict(list)
+                for batch in self.dm.test_dataloader():
+                    db = self._to_device_batch(batch)
+                    ly, lneg = self._eval_fns["l1_loss"](
+                        self.state.params, db
+                    )
+                    tst["test_y_l1_loss"].append(ly)
+                    tst["test_neg_dy_l1_loss"].append(lneg)
+                for key, vals in tst.items():
+                    row[key] = float(np.mean(jax.device_get(vals)))
             self.logger.log(row)
             for log_fn in self.extra_loggers:
                 log_fn(row)
