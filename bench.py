@@ -86,13 +86,20 @@ def main():
     jax.block_until_ready((y, f))
     compile_s = time.time() - t0
 
-    # timed loop: feed the positions back (MD-like dependency chain)
+    # timed loop: chained steps fully on device (positions feed back, as in
+    # the on-device MD loop) — excludes host↔device round-trip latency
+    @jax.jit
+    def chain(params, pos0, iters):
+        def body(i, p):
+            _, fstep = pot.apply(params, zj, p, sj, box=bj, num_mols=1)
+            return p + 0.0 * fstep
+        return jax.lax.fori_loop(0, iters, body, pos0)
+
+    out = chain(variables, pj, 2)  # compile
+    jax.block_until_ready(out)
     t0 = time.time()
-    p = pj
-    for _ in range(TIMED_ITERS):
-        y, f = step(variables, p)
-        p = p + 0.0 * f
-    jax.block_until_ready((y, f, p))
+    out = chain(variables, pj, TIMED_ITERS)
+    jax.block_until_ready(out)
     ms = (time.time() - t0) / TIMED_ITERS * 1000.0
 
     result = {

@@ -65,14 +65,14 @@ def test_nve_energy_conservation():
     # small initial velocities
     state = init_state(pos, vel=np.random.RandomState(1).randn(
         len(z), 3).astype(np.float32) * 0.005)
-    e0 = float(energy_fn(state.pos, state.nbr_idx, state.nbr_mask)) + float(
-        kinetic_energy(state.vel, jnp.asarray(masses))
-    )
+    e0 = float(
+        energy_fn(state.pos, state.nbr_idx, state.nbr_mask, state.nbr_rev)
+    ) + float(kinetic_energy(state.vel, jnp.asarray(masses)))
     for _ in range(10):
         state = chunk(state)
-    e1 = float(energy_fn(state.pos, state.nbr_idx, state.nbr_mask)) + float(
-        kinetic_energy(state.vel, jnp.asarray(masses))
-    )
+    e1 = float(
+        energy_fn(state.pos, state.nbr_idx, state.nbr_mask, state.nbr_rev)
+    ) + float(kinetic_energy(state.vel, jnp.asarray(masses)))
     assert not bool(state.overflow)
     assert int(state.step) == 100
     # total energy drift small relative to kinetic scale

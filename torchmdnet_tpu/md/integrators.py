@@ -33,6 +33,7 @@ class MDState(NamedTuple):
     vel: jnp.ndarray  # [N, 3] Å/fs
     nbr_idx: jnp.ndarray
     nbr_mask: jnp.ndarray
+    nbr_rev: jnp.ndarray
     key: jnp.ndarray
     step: jnp.ndarray
     overflow: jnp.ndarray
@@ -94,12 +95,13 @@ def make_md_step(
     def build_nbr(pos):
         return build_neighbor_matrix(pos, batch, **nbr_kwargs)
 
-    def energy(pos, nbr_idx, nbr_mask):
+    def energy(pos, nbr_idx, nbr_mask, nbr_rev):
         nbr = NeighborMatrix(
             nbr_idx,
             nbr_mask,
             jnp.sum(nbr_mask, axis=1).astype(jnp.int32),
             jnp.array(False),
+            nbr_rev,
         )
         y = potential.energy(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
@@ -110,10 +112,11 @@ def make_md_step(
     grad_fn = jax.grad(energy, argnums=0)
 
     def vv_step(state: MDState) -> MDState:
-        f = -grad_fn(state.pos, state.nbr_idx, state.nbr_mask)  # eV/Å
+        f = -grad_fn(state.pos, state.nbr_idx, state.nbr_mask,
+                     state.nbr_rev)  # eV/Å
         vel_half = state.vel + 0.5 * dt * f * inv_m * ACC_FACTOR
         pos_new = state.pos + dt * vel_half
-        f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask)
+        f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask, state.nbr_rev)
         vel_new = vel_half + 0.5 * dt * f2 * inv_m * ACC_FACTOR
         if temperature is not None:
             key, sub = jax.random.split(state.key)
@@ -127,8 +130,8 @@ def make_md_step(
         else:
             key = state.key
         return MDState(
-            pos_new, vel_new, state.nbr_idx, state.nbr_mask, key,
-            state.step + 1, state.overflow,
+            pos_new, vel_new, state.nbr_idx, state.nbr_mask, state.nbr_rev,
+            key, state.step + 1, state.overflow,
         )
 
     def chunk(state: MDState) -> MDState:
@@ -136,6 +139,7 @@ def make_md_step(
         state = state._replace(
             nbr_idx=nbr.idx,
             nbr_mask=nbr.mask,
+            nbr_rev=nbr.rev_slot,
             overflow=state.overflow | nbr.overflow,
         )
         return jax.lax.fori_loop(
@@ -155,7 +159,7 @@ def make_md_step(
             else:
                 vel = jnp.zeros_like(pos)
         return MDState(
-            pos, jnp.asarray(vel), nbr.idx, nbr.mask, key,
+            pos, jnp.asarray(vel), nbr.idx, nbr.mask, nbr.rev_slot, key,
             jnp.zeros((), jnp.int32), nbr.overflow,
         )
 

@@ -203,7 +203,8 @@ class TensorNet2(nn.Module):
             num_mols = int(batch.shape[0])  # safe upper bound
         if nbr is None:
             nbr = self.build_neighbors(pos, batch, box=box, atom_mask=atom_mask)
-        rev_slot = reverse_slots(nbr.idx, nbr.mask)
+        rev_slot = (nbr.rev_slot if nbr.rev_slot is not None
+                    else reverse_slots(nbr.idx, nbr.mask))
         delta, dist = neighbor_geometry(pos, nbr, box=box, batch=batch)
 
         # Per-atom total charge Q (reference :376-380).

@@ -50,6 +50,10 @@ class NeighborMatrix(NamedTuple):
     mask: jnp.ndarray  # [N, K] bool; True = valid neighbor
     num_neighbors: jnp.ndarray  # [N] int32 (true count, may exceed K on overflow)
     overflow: jnp.ndarray  # [] bool; True if any atom had > K neighbors
+    # rev_slot[n,k] = position of n in row idx[n,k] (the column-CSR dual;
+    # see ops/message_passing.py) — computed once per build so the models
+    # don't pay for it every step.
+    rev_slot: Optional[jnp.ndarray] = None
 
 
 def _expand_box(box: jnp.ndarray, batch: jnp.ndarray) -> jnp.ndarray:
@@ -101,7 +105,10 @@ def _adjacency_to_matrix(adj: jnp.ndarray, k_max: int) -> NeighborMatrix:
     idx = jnp.where(mask, idx, row)  # padded slots point at own row
     count = adj.sum(axis=1).astype(jnp.int32)
     overflow = jnp.any(count > k_max)
-    return NeighborMatrix(idx, mask, count, overflow)
+    from torchmdnet_tpu.ops.message_passing import reverse_slots
+
+    return NeighborMatrix(idx, mask, count, overflow,
+                          reverse_slots(idx, mask))
 
 
 @partial(
@@ -330,7 +337,10 @@ def _cell_neighbor_matrix_impl(
     idx = jnp.where(mask, idx, row)
     count = adj.sum(axis=1).astype(jnp.int32)
     overflow = jnp.any(count > k_max) | cell_overflow
-    return NeighborMatrix(idx, mask, count, overflow)
+    from torchmdnet_tpu.ops.message_passing import reverse_slots
+
+    return NeighborMatrix(idx, mask, count, overflow,
+                          reverse_slots(idx, mask))
 
 
 def build_neighbor_matrix(
