@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from torchmdnet_tpu.ops import rbf as rbf_ops
+from torchmdnet_tpu.ops.config import get_matmul_precision
 
 
 # ---------------------------------------------------------------------------
@@ -84,7 +85,7 @@ class Linear(nn.Module):
             "...i,io->...o",
             x.astype(dtype),
             kernel.astype(dtype),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=get_matmul_precision(),
         )
         if self.use_bias:
             bias = self.param("bias", binit, (self.features,), jnp.float32)

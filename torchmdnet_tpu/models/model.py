@@ -263,6 +263,10 @@ def create_model(args: dict, prior_models=None, mean=None, std=None) -> Potentia
     """Build a :class:`Potential` from a reference-compatible args dict
     (reference ``model.py:21-164``)."""
     args = dict(args)
+    if args.get("matmul_precision"):
+        from torchmdnet_tpu.ops.config import set_matmul_precision
+
+        set_matmul_precision(args["matmul_precision"])
     args.setdefault("box_vecs", None)
     args.setdefault("static_shapes", True)
     args.setdefault("vector_cutoff", False)

@@ -20,13 +20,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_N = 16
-_HI = jax.lax.Precision.HIGHEST
+
+
+def _prec():
+    from torchmdnet_tpu.ops.config import get_matmul_precision
+
+    return get_matmul_precision()
 
 
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_HI,
+        preferred_element_type=jnp.float32, precision=_prec(),
     )
 
 
@@ -43,9 +48,10 @@ def _edge_mlp_kernel(x_ref, cw_ref, w1_ref, b1_ref, w2_ref, b2_ref, w3_ref,
 
 def edge_mlp_jnp(x, cw, w1, b1, w2, b2, w3, b3):
     """Reference jnp chain — identical numerics, used for bwd + fallback."""
-    h = jax.nn.silu(jnp.einsum("nkr,rf->nkf", x, w1, precision=_HI) + b1)
-    h = jax.nn.silu(jnp.einsum("nkf,fg->nkg", h, w2, precision=_HI) + b2)
-    h = jax.nn.silu(jnp.einsum("nkg,gh->nkh", h, w3, precision=_HI) + b3)
+    hi = _prec()
+    h = jax.nn.silu(jnp.einsum("nkr,rf->nkf", x, w1, precision=hi) + b1)
+    h = jax.nn.silu(jnp.einsum("nkf,fg->nkg", h, w2, precision=hi) + b2)
+    h = jax.nn.silu(jnp.einsum("nkg,gh->nkh", h, w3, precision=hi) + b3)
     return h * cw[..., None]
 
 

@@ -103,6 +103,7 @@ def get_argparse():
     parser.add_argument('--ngpus', type=int, default=-1, help='Number of devices; -1 uses all available')
     parser.add_argument('--num-nodes', type=int, default=1, help='Number of hosts (jax.distributed)')
     parser.add_argument('--precision', type=int, default=32, choices=[16, 32, 64])
+    parser.add_argument('--matmul-precision', type=str, default='highest', choices=['highest', 'high', 'default'], help='MXU pass count for f32 matmuls (highest = f32-exact)')
     parser.add_argument('--log-dir', '-l', default='/tmp/logs')
     parser.add_argument('--splits', default=None)
     parser.add_argument('--train-size', type=number, default=None)
