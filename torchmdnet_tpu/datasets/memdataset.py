@@ -13,7 +13,7 @@ slices the memmaps.
 
 import gc
 import os
-from typing import Dict, Iterator, Optional, Sequence
+from typing import Dict, Iterator, Sequence
 
 import numpy as np
 

@@ -11,8 +11,6 @@ Unit-transform registry mirrors ``calculators.py:10-23``.
 """
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 
 transforms = {

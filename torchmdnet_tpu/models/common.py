@@ -17,7 +17,7 @@ matches the reference's initialization statistics:
 """
 
 import math
-from typing import Callable, Optional, Sequence
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,14 +10,12 @@ TPU-first: the head is a *pure energy function*; forces come from
 whole pipeline jits over static ``(N_pad, K, B_pad)`` shapes.
 """
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
-from flax.core import freeze, unfreeze
 
 from torchmdnet_tpu.models.output_modules import OUTPUT_MODULES, OutputModel
 from torchmdnet_tpu import priors as priors_pkg

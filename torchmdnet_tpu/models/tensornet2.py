@@ -23,7 +23,6 @@ from torchmdnet_tpu.models.common import MLP, LayerNorm, get_activation, make_rb
 from torchmdnet_tpu.models.tensornet import (
     TensorEmbedding,
     edge_message_passing,
-    gather_irreps,
     linear_irreps,
 )
 from torchmdnet_tpu.ops import rbf as rbf_ops

@@ -10,7 +10,6 @@ this module provides the standalone wrapper for API parity.)
 
 from typing import Optional
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 

@@ -28,10 +28,18 @@ def _prec():
     return get_matmul_precision()
 
 
+def _kernel_prec():
+    # Mosaic supports only DEFAULT/HIGHEST dot precisions; map HIGH up.
+    p = _prec()
+    if p == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.HIGHEST
+    return p
+
+
 def _dot(a, b):
     return jax.lax.dot_general(
         a, b, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_prec(),
+        preferred_element_type=jnp.float32, precision=_kernel_prec(),
     )
 
 

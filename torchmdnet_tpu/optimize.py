@@ -9,9 +9,6 @@ modules.  The same feature guards apply conceptually: the step is
 specialized to one (atom count, neighbor capacity) signature.
 """
 
-from functools import partial
-
-
 def optimize(potential, variables, z, batch, *, num_mols, box=None, q=None):
     """Return a jitted ``pos -> (E, F)`` step specialized to this system."""
     import jax

@@ -12,7 +12,6 @@ its local slice of the leading axis and the same code runs unchanged
 (GSPMD addresses all devices globally).
 """
 
-from functools import partial
 from typing import Dict
 
 import jax

@@ -1,8 +1,6 @@
 """Cosine-switched Coulomb prior using dataset partial charges
 (reference ``torchmdnet/priors/coulomb.py``)."""
 
-from typing import Optional
-
 import jax.numpy as jnp
 import numpy as np
 

@@ -1,7 +1,7 @@
 """Ziegler-Biersack-Littmark screened nuclear repulsion
 (reference ``torchmdnet/priors/zbl.py``)."""
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax.numpy as jnp
 

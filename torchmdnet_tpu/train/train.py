@@ -2,7 +2,6 @@
 config → DataModule → priors → model → Trainer.fit → test on best ckpt."""
 
 import os
-import sys
 
 
 def main(argv=None):

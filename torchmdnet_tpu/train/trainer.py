@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from torchmdnet_tpu.train.loss import LOSS_FUNCTIONS
 from torchmdnet_tpu.train.step import (
     TrainState,
     create_train_state,

@@ -6,9 +6,6 @@ to one mechanism here: ``jax.export`` StableHLO serialization of the jitted
 ``export_potential`` serializes for fixed shapes; ``load_exported`` rebuilds
 a callable from the artifact without the model code."""
 
-import numpy as np
-
-
 def export_potential(potential, variables, z, batch, *, num_mols, box=None,
                      q=None, path=None):
     """Serialize the jitted energy+forces step to StableHLO bytes.

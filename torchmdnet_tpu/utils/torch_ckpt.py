@@ -22,7 +22,7 @@ parent (``layers.0`` → ``layers_0``), ``weight`` maps to ``kernel``
 
 import re
 import warnings
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import numpy as np
 
