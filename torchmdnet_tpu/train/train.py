@@ -50,6 +50,19 @@ def main(argv=None):
         trainer.state = trainer.state._replace(
             params=jax.tree.map(jnp.asarray, variables["params"])
         )
+        # exact resume (optimizer state, step, plateau LR) from the native
+        # sidecar, unless --reset-trainer (reference scripts/train.py:50)
+        sidecar = str(hp["load_model"]) + ".native"
+        if os.path.exists(sidecar) and not hp.get("reset_trainer"):
+            import pickle
+
+            with open(sidecar, "rb") as fh:
+                saved = pickle.load(fh)
+            trainer.state = trainer.state._replace(
+                opt_state=jax.tree.map(jnp.asarray, saved["opt_state"]),
+                step=jnp.asarray(saved["step"], jnp.int32),
+                base_lr=jnp.asarray(saved["base_lr"], jnp.float32),
+            )
     else:
         potential = create_model(hp, prior_models=prior_models,
                                  mean=mean, std=std)
