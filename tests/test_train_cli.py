@@ -75,3 +75,35 @@ def test_example_yamls_parse():
         known = set(vars(parser.parse_args([]))) | {"conf"}
         unknown = set(config) - known
         assert not unknown, f"{path}: unknown keys {unknown}"
+
+
+def test_cli_resume_from_checkpoint(tmp_path):
+    h5path = str(tmp_path / "data.h5")
+    _write_h5(h5path)
+    log_dir = str(tmp_path / "logs")
+    conf = dict(
+        model="tensornet", dataset="HDF5", dataset_root=h5path,
+        embedding_dimension=16, num_layers=1, num_rbf=8, num_epochs=2,
+        batch_size=4, inference_batch_size=4, derivative=True,
+        train_size=8, val_size=2, test_size=2, lr=1e-3, log_dir=log_dir,
+        save_interval=1, max_num_neighbors=8, max_z=20, seed=0,
+    )
+    conf_path = str(tmp_path / "conf.yaml")
+    with open(conf_path, "w") as fh:
+        yaml.dump(conf, fh)
+
+    from torchmdnet_tpu.train.train import main
+
+    main(["--conf", conf_path])
+    best = os.path.join(log_dir, "best.ckpt")
+    assert os.path.exists(best) and os.path.exists(best + ".native")
+
+    # resume: optimizer state + step restored from the sidecar
+    log_dir2 = str(tmp_path / "logs2")
+    results = main([
+        "--conf", conf_path, "--load-model", best,
+        "--log-dir", log_dir2, "--num-epochs", "1",
+    ])
+    import numpy as np
+
+    assert np.isfinite(results["test_y_l1_loss"])

@@ -162,6 +162,18 @@ class Trainer:
 
     # -- setup ----------------------------------------------------------
     def _init_state(self, example_batch):
+        # a DP group needs n_devices batches per step; degrade to
+        # single-device for tiny datasets
+        if self.n_devices > 1:
+            n_batches = len(self.dm.train_dataloader())
+            if n_batches < self.n_devices:
+                import warnings
+
+                warnings.warn(
+                    f"only {n_batches} train batches per epoch < "
+                    f"{self.n_devices} devices; running single-device"
+                )
+                self.n_devices = 1
         pot = self.potential
         num_mols = int(self.hp["batch_size"])
         variables = pot.init(
@@ -281,6 +293,7 @@ class Trainer:
             train_loader.set_epoch(epoch)
             # train
             tmetrics = defaultdict(list)
+            last_lr = self.state.base_lr
             for batch in self._iter_train(train_loader):
                 self.state, metrics = self._train_step(
                     self.state, batch
