@@ -98,6 +98,27 @@ def test_fit_smoke_and_checkpoint_roundtrip(tmp_path):
     assert f.shape == (n, 3)
 
 
+def test_fit_with_prefetch_matches_sync(tmp_path):
+    """num_workers>0 enables the background prefetch thread; training must
+    produce bit-identical metrics to the synchronous path."""
+    import shutil
+
+    metrics = {}
+    for tag, workers in (("sync", 0), ("prefetch", 2)):
+        log_dir = tmp_path / tag
+        os.makedirs(log_dir, exist_ok=True)
+        hp = _hparams(tmp_path, num_workers=workers, num_epochs=2)
+        hp["log_dir"] = str(log_dir)
+        ds = DummyDataset(num_samples=20)
+        dm = DataModule(hp, dataset=ds)
+        dm.setup("fit")
+        pot = create_model(hp)
+        Trainer(pot, hp, dm).fit()
+        metrics[tag] = open(log_dir / "metrics.csv").read()
+        shutil.rmtree(log_dir)
+    assert metrics["sync"] == metrics["prefetch"]
+
+
 def test_exported_ckpt_matches_reference_model(tmp_path):
     """Checkpoints we export must load into the *reference torch* framework
     and produce the same energies (bidirectional compatibility)."""

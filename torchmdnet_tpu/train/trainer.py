@@ -30,6 +30,39 @@ from torchmdnet_tpu.train.step import (
 )
 
 
+def prefetch_to_device(iterator, size=2):
+    """Run ``iterator`` in a background thread, keeping up to ``size``
+    ready batches queued. Host-side collation (padding / memmap packing)
+    overlaps with the device step; jnp.asarray transfers are issued
+    ahead of use so the device never waits on PCIe (the reference gets
+    this from torch DataLoader ``num_workers``; here one thread suffices
+    because collation is numpy/C, which releases the GIL)."""
+    import queue
+    import threading
+
+    q = queue.Queue(maxsize=max(1, size))
+    sentinel = object()
+    errors = []
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+        except BaseException as exc:  # surface in consumer
+            errors.append(exc)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is sentinel:
+            if errors:
+                raise errors[0]
+            return
+        yield item
+
+
 class CSVLogger:
     """metrics.csv logger; backs up a pre-existing file with a timestamp
     (reference ``utils.py:408-417``)."""
@@ -294,7 +327,11 @@ class Trainer:
             # train
             tmetrics = defaultdict(list)
             last_lr = self.state.base_lr
-            for batch in self._iter_train(train_loader):
+            batches = self._iter_train(train_loader)
+            n_prefetch = int(self.hp.get("num_workers", 0) or 0)
+            if n_prefetch > 0:
+                batches = prefetch_to_device(batches, size=min(n_prefetch, 4))
+            for batch in batches:
                 self.state, metrics = self._train_step(
                     self.state, batch
                 )
