@@ -79,6 +79,34 @@ def test_nve_energy_conservation():
     assert abs(e1 - e0) < 5e-3, (e0, e1)
 
 
+def test_run_md_cell_strategy_infers_grid():
+    """run_md with neighbor_strategy='cell' must work WITHOUT an explicit
+    cells_per_dim: the static grid dims are derived from the concrete box
+    before jit (regression: TracerArrayConversionError inside the chunk)."""
+    pot = _potential(max_num_neighbors=32)
+    rng = np.random.RandomState(5)
+    m = 5
+    spacing = 3.2
+    g = np.arange(m) * spacing + spacing / 2
+    pos = np.stack(np.meshgrid(g, g, g, indexing="ij"), -1).reshape(-1, 3)
+    pos = (pos + rng.uniform(-0.1, 0.1, pos.shape)).astype(np.float32)
+    n = len(pos)
+    z = rng.randint(1, 9, n).astype(np.int32)
+    masses = ATOMIC_MASSES[z].astype(np.float32)
+    box = np.diag([m * spacing] * 3).astype(np.float32)
+    variables = pot.init(
+        jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(pos),
+        jnp.zeros(n, jnp.int32), num_mols=1, box=jnp.asarray(box),
+    )
+    state = run_md(
+        pot, variables, z, pos, masses, n_steps=20, dt=0.2,
+        box=jnp.asarray(box), temperature=None, rebuild_every=10,
+        skin=1.0, neighbor_strategy="cell",
+    )
+    assert np.isfinite(np.asarray(state.pos)).all()
+    assert not bool(state.overflow)
+
+
 def test_langevin_runs_and_thermalizes():
     pot = _potential()
     z, pos, masses = _system(seed=3)

@@ -64,6 +64,38 @@ def test_atom_filter_rejects_derivative():
         create_model(_args(atom_filter=1, derivative=True))
 
 
+def test_tampered_rbf_buffer_refused(tmp_path):
+    """A checkpoint whose non-trainable RBF buffers were hand-edited must be
+    refused (they are config-derived constants here, not loadable state)."""
+    import pytest
+    import torch
+
+    rng = np.random.RandomState(2)
+    n = 6
+    z = rng.randint(1, 9, n).astype(np.int32)
+    pos = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    args = _args()
+    pot = create_model(dict(args))
+    variables = pot.init(
+        jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(pos),
+        jnp.zeros(n, jnp.int32), num_mols=1,
+    )
+    path = str(tmp_path / "m.ckpt")
+    save_torch_checkpoint(path, pot, variables, hparams=args)
+
+    # untampered loads fine
+    load_model(path)
+
+    ckpt = torch.load(path, weights_only=False)
+    key = "model.representation_model.distance_expansion.means"
+    assert key in ckpt["state_dict"]
+    ckpt["state_dict"][key] = ckpt["state_dict"][key] + 0.5
+    bad = str(tmp_path / "tampered.ckpt")
+    torch.save(ckpt, bad)
+    with pytest.raises(ValueError, match="distance_expansion.means"):
+        load_model(bad)
+
+
 def test_ensemble_zip_and_list(tmp_path):
     rng = np.random.RandomState(1)
     n = 6

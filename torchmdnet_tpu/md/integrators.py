@@ -90,6 +90,22 @@ def make_md_step(
         box=box,
     )
     if neighbor_strategy == "cell":
+        # Resolve the static cell-grid dims NOW, while the box is still a
+        # concrete array — inside the jitted chunk it is a tracer and the
+        # builder could no longer derive them (TracerArrayConversionError).
+        if cells_per_dim is None:
+            if box is None:
+                raise ValueError("neighbor_strategy='cell' requires a box")
+            import numpy as np
+
+            b = np.asarray(jax.device_get(jnp.asarray(box)))
+            if b.ndim == 3:
+                b = b[0]
+            bd = np.diag(b).astype(np.float64)
+            dims = np.maximum(
+                np.floor(bd / (cutoff + skin)).astype(np.int64), 3
+            )
+            cells_per_dim = tuple(int(d) for d in dims)
         nbr_kwargs["cells_per_dim"] = cells_per_dim
 
     def build_nbr(pos):

@@ -300,10 +300,21 @@ def _cell_neighbor_matrix_impl(
     # Distances per coordinate component: gathering pos[cand] as [N, C, 3]
     # would put the length-3 axis on the 128-lane dimension (42× padding,
     # OOM at 25k atoms); [N, C] per component keeps lanes dense.
-    d2 = jnp.zeros(cand_safe.shape, pos.dtype)
+    #
+    # Candidate attributes are fetched through the cell table in two hops:
+    # first permute each attribute into table layout ([n_cells+1, capacity],
+    # a tiny element gather), then fetch each atom's 27 stencil blocks with
+    # ``attr_table[ncell_id]`` — a ROW gather (capacity-wide slices).  The
+    # naive ``pc[cand_safe]`` is an *element* gather over N·27·capacity
+    # arbitrary indices, which XLA lowers to scalar loads (~800 ms at 25k
+    # atoms); the two-hop form is bit-identical and bandwidth-bound (~20 ms).
+    table_safe = jnp.minimum(table, n - 1)
+    C = 27 * cell_capacity
+    d2 = jnp.zeros((n, C), pos.dtype)
     for c in range(3):
         pc = pos[:, c]
-        dc = pc[:, None] - pc[cand_safe]
+        cand_pc = pc[table_safe][ncell_id].reshape(n, C)
+        dc = pc[:, None] - cand_pc
         dc = dc - jnp.round(dc / box_diag[c]) * box_diag[c]
         d2 = d2 + dc * dc
 
@@ -313,9 +324,11 @@ def _cell_neighbor_matrix_impl(
         adj &= (d2 >= cutoff_lower * cutoff_lower) | is_self
     if not loop:
         adj &= ~is_self
-    adj &= batch[:, None] == batch[cand_safe]
+    cand_batch = batch[table_safe][ncell_id].reshape(n, C)
+    adj &= batch[:, None] == cand_batch
     if atom_mask is not None:
-        adj &= atom_mask[:, None] & atom_mask[cand_safe]
+        cand_am = atom_mask[table_safe][ncell_id].reshape(n, C)
+        adj &= atom_mask[:, None] & cand_am
 
     # Compact candidates with cumsum + one unique-index scatter — far
     # cheaper than a per-row top_k/sort over the 27·capacity candidates.

@@ -374,6 +374,37 @@ def load_checkpoint_as_potential(filepath, args=None, **kwargs):
 
     sd = apply_reference_compat(raw_sd, args, hparams, kwargs)
 
+    # Non-trainable RBF parameters are torch *buffers*; here they are
+    # config-derived constants recomputed at module construction, so the
+    # checkpoint copies are not loaded. Guard against a checkpoint whose
+    # buffers were hand-edited (it would otherwise load silently wrong).
+    if not args.get("trainable_rbf", False):
+        from torchmdnet_tpu.ops.rbf import (
+            expnorm_initial_params,
+            gauss_initial_params,
+        )
+
+        lo, hi = args.get("cutoff_lower", 0.0), args["cutoff_upper"]
+        num = args["num_rbf"]
+        if args.get("rbf_type", "expnorm") == "expnorm":
+            means, betas = expnorm_initial_params(lo, hi, num)
+            expected = {"means": means, "betas": betas}
+        else:
+            offset, coeff = gauss_initial_params(lo, hi, num)
+            expected = {"offset": offset, "coeff": coeff}
+        for leaf, want in expected.items():
+            key = f"representation_model.distance_expansion.{leaf}"
+            if key in sd and not np.allclose(
+                np.asarray(sd[key]).ravel(), np.asarray(want).ravel(),
+                rtol=1e-5, atol=1e-6,
+            ):
+                raise ValueError(
+                    f"Checkpoint buffer '{key}' differs from its "
+                    "config-derived initialization but trainable_rbf is "
+                    "False; refusing to load it silently wrong. Re-export "
+                    "the checkpoint or load with trainable_rbf=True."
+                )
+
     # Priors from hparams; Atomref tables come from the checkpoint itself.
     prior_models = list(create_prior_models(args))
     for i, prior in enumerate(prior_models):
