@@ -117,5 +117,81 @@ def main():
     print(json.dumps(result))
 
 
+def bench_train():
+    """Extras mode (``python bench.py --train``): training throughput,
+    samples/sec on QM9-scale molecules (TensorNet 2L×128, energy+force
+    loss, AdamW) through the real jitted train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from torchmdnet_tpu.models.model import create_model
+    from torchmdnet_tpu.train.step import create_train_state, make_train_step
+
+    batch_mols = int(os.environ.get("BENCH_TRAIN_MOLS", 64))
+    atoms_per_mol = 24
+    n = batch_mols * atoms_per_mol
+    n_pad = int(np.ceil((n + 1) / 128) * 128)
+
+    args = dict(
+        model="tensornet", embedding_dimension=128, num_layers=2,
+        num_rbf=32, rbf_type="expnorm", trainable_rbf=False,
+        activation="silu", cutoff_lower=0.0, cutoff_upper=5.0, max_z=128,
+        max_num_neighbors=40, derivative=True, prior_model=None,
+        output_model="Scalar", reduce_op="sum", precision=32,
+        equivariance_invariance_group="O(3)", atom_filter=-1,
+        pallas_edge_mlp=False,
+    )
+    pot = create_model(args)
+
+    rng = np.random.RandomState(0)
+    z = np.zeros(n_pad, np.int32)
+    batch = np.full(n_pad, batch_mols, np.int32)  # ghost segment
+    pos = np.zeros((n_pad, 3), np.float32)
+    for m in range(batch_mols):
+        s = slice(m * atoms_per_mol, (m + 1) * atoms_per_mol)
+        z[s] = rng.choice([1, 1, 6, 7, 8], atoms_per_mol)
+        batch[s] = m
+        pos[s] = rng.uniform(-4, 4, (atoms_per_mol, 3)) + m  # separate mols
+    db = {
+        "z": jnp.asarray(z), "pos": jnp.asarray(pos),
+        "batch": jnp.asarray(batch),
+        "y": jnp.asarray(rng.randn(batch_mols, 1).astype(np.float32)),
+        "neg_dy": jnp.asarray(rng.randn(n_pad, 3).astype(np.float32)),
+        "mol_mask": jnp.ones((batch_mols,), bool),
+    }
+
+    variables = jax.jit(partial(pot.init, num_mols=batch_mols))(
+        jax.random.PRNGKey(0), db["z"], db["pos"], db["batch"]
+    )
+    state = create_train_state(variables["params"], lr=1e-4)
+    step = jax.jit(
+        make_train_step(pot, num_mols=batch_mols, lr=1e-4),
+        donate_argnums=0,
+    )
+
+    state, _ = step(state, db)  # compile
+    jax.block_until_ready(state.params)
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", 20))
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, db)
+    jax.block_until_ready(metrics["loss"])
+    sec = (time.time() - t0) / iters
+    print(json.dumps({
+        "metric": "tensornet_2L128d_train_samples_per_sec",
+        "value": round(batch_mols / sec, 1),
+        "unit": "mol/s",
+        "vs_baseline": None,
+        "extra": {"ms_per_step": round(sec * 1000, 2),
+                  "batch_mols": batch_mols, "atoms_per_mol": atoms_per_mol,
+                  "loss": float(np.asarray(metrics["loss"]))},
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--train" in sys.argv:
+        bench_train()
+    else:
+        main()
