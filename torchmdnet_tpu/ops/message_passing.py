@@ -25,12 +25,22 @@ def reverse_slots(idx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
 
     Valid slots are stored ascending-j first (ops.neighbors contract), so
     the first match is the valid one even when padding slots alias the row
-    index.  Cost: one [N,K,K] gather — transient, recomputed per neighbor
-    build.
+    index.  The [C,K,K] comparison block is chunked over rows with
+    ``lax.map`` so the transient stays bounded (unchunked it is N·K²·4 B —
+    0.9 GB at the 25k/K=96 MD config).
     """
-    rows = jnp.take(idx, idx, axis=0)  # [N, K, K]
-    me = jnp.arange(idx.shape[0], dtype=idx.dtype)[:, None, None]
-    slot = jnp.argmax(rows == me, axis=-1).astype(jnp.int32)
+    n, k = idx.shape
+    chunk = _row_chunks(n, k, k, budget_bytes=128 * 1024 * 1024)
+    me = jnp.arange(n, dtype=idx.dtype)
+
+    def one(args):
+        idx_c, me_c = args
+        rows = jnp.take(idx, idx_c, axis=0)  # [C, K, K]
+        return jnp.argmax(
+            rows == me_c[:, None, None], axis=-1
+        ).astype(jnp.int32)
+
+    slot = _map_rows(one, (idx, me), n, chunk)
     return jnp.where(mask, slot, 0)
 
 
@@ -99,13 +109,34 @@ def _expand_w9(attr3f):
 
 
 def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024):
-    """Rows per chunk so the transient [C, K, 9F] block stays in budget."""
+    """Rows per chunk so the transient [C, K, 9F] block stays in budget.
+
+    The chunk does NOT have to divide n — map the chunks with
+    :func:`_map_rows`, which pads n up to a multiple. (Requiring a divisor
+    degenerates to chunk=1 for prime n: 25087 sequential map steps.)
+    """
     per_row = k * c9 * 4
     c = max(budget_bytes // per_row, 8)
-    c = min(c, n)
-    while n % c:
-        c -= 1
-    return c
+    return min(c, n)
+
+
+def _map_rows(fn, arrays, n, chunk):
+    """``lax.map`` ``fn`` over row-chunks of ``arrays`` (leading dim n),
+    zero-padding n up to a chunk multiple; returns outputs sliced to n."""
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        arrays = tuple(
+            jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1))
+            for a in arrays
+        )
+    out = jax.lax.map(
+        fn,
+        tuple(a.reshape((n_pad // chunk, chunk) + a.shape[1:])
+              for a in arrays),
+    )
+    return jax.tree.map(
+        lambda o: o.reshape((n_pad,) + o.shape[2:])[:n], out
+    )
 
 
 @jax.custom_vjp
@@ -127,39 +158,37 @@ def _pns_impl(attr3f, feats9, idx, rev_slot, mask):
         attr3f = attr3f.astype(ct)
         feats9 = feats9.astype(ct)
     n, k, c3 = attr3f.shape
-    c9 = 3 * c3
-    chunk = _row_chunks(n, k, c9)
-
     f = c3 // 3
+    chunk = _row_chunks(n, k, 3 * c3)
 
+    # Blockwise EINSUMS (dot_generals), row-chunked: expressing each
+    # F-block's weighted neighbor sum as a dot lets XLA fuse the block's
+    # gather into the reduction instead of materializing + tree-reducing
+    # on the VPU — 84 → 52 ms/layer fwd at the 25k/K=96 MD config
+    # (measured 2026-08-16; un-chunked is no faster and lets XLA keep the
+    # per-layer [N,K,3F] residents alive under remat → OOM at 25k).
+    # ``attr3f`` already carries the cutoff/pad mask; padding slots gather
+    # the row itself (finite), weight 0.
     def one(args):
-        attr_c, idx_c, mask_c = args
-        xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)
+        attr_c, idx_c = args
+        xj = feats9[idx_c]
         w0 = attr_c[..., :f]
         w1 = attr_c[..., f:2 * f]
         w2 = attr_c[..., 2 * f:]
-        # blockwise multiply-reduce — building the [C, K, 9F] w9 tensor
-        # would add a 2× HBM round-trip over the largest array here
-        blocks = [jnp.sum(w0 * xj[..., :f], axis=1)]
+        blocks = [jnp.einsum("nkf,nkf->nf", w0, xj[..., :f])]
         for d in range(3):
             blocks.append(
-                jnp.sum(w1 * xj[..., (1 + d) * f:(2 + d) * f], axis=1)
+                jnp.einsum("nkf,nkf->nf", w1,
+                           xj[..., (1 + d) * f:(2 + d) * f])
             )
         for c in range(5):
             blocks.append(
-                jnp.sum(w2 * xj[..., (4 + c) * f:(5 + c) * f], axis=1)
+                jnp.einsum("nkf,nkf->nf", w2,
+                           xj[..., (4 + c) * f:(5 + c) * f])
             )
         return jnp.concatenate(blocks, axis=-1)
 
-    out = jax.lax.map(
-        one,
-        (
-            attr3f.reshape(n // chunk, chunk, k, c3),
-            idx.reshape(n // chunk, chunk, k),
-            mask.reshape(n // chunk, chunk, k),
-        ),
-    )
-    return out.reshape(n, c9)
+    return _map_rows(one, (attr3f, idx), n, chunk)
 
 
 def _pns_fwd(attr3f, feats9, idx, rev_slot, mask):
@@ -169,6 +198,11 @@ def _pns_fwd(attr3f, feats9, idx, rev_slot, mask):
 
 
 def _pns_bwd(res, g):
+    # The backward stays row-chunked: unlike the forward (where each
+    # F-block gather fuses into its dot reduction), here the gathered
+    # blocks feed elementwise consumers and XLA materializes them —
+    # un-chunked that is an [N·K, 9F] temp (10.3 GB at the 25k MD config,
+    # OOM; measured 2026-08-16).
     attr3f, feats9, idx, rev_slot, mask = res
     n, k, c3 = attr3f.shape
     f = c3 // 3
@@ -192,31 +226,26 @@ def _pns_bwd(res, g):
         w0 = jnp.where(mask_e, w_rev[..., :f], 0.0)
         w1 = jnp.where(mask_e, w_rev[..., f:2 * f], 0.0)
         w2 = jnp.where(mask_e, w_rev[..., 2 * f:], 0.0)
-        blocks = [jnp.sum(w0 * g_rev[..., :f], axis=1)]
+        blocks = [jnp.einsum("nkf,nkf->nf", w0, g_rev[..., :f])]
         for d in range(3):
             blocks.append(
-                jnp.sum(w1 * g_rev[..., (1 + d) * f:(2 + d) * f], axis=1)
+                jnp.einsum("nkf,nkf->nf", w1,
+                           g_rev[..., (1 + d) * f:(2 + d) * f])
             )
         for c in range(5):
             blocks.append(
-                jnp.sum(w2 * g_rev[..., (4 + c) * f:(5 + c) * f], axis=1)
+                jnp.einsum("nkf,nkf->nf", w2,
+                           g_rev[..., (4 + c) * f:(5 + c) * f])
             )
         dfeats_c = jnp.concatenate(blocks, axis=-1)
         return dattr_c, dfeats_c
 
-    dattr, dfeats = jax.lax.map(
-        one,
-        (
-            attr3f.reshape(n // chunk, chunk, k, c3),
-            idx.reshape(n // chunk, chunk, k),
-            rev_slot.reshape(n // chunk, chunk, k),
-            mask.reshape(n // chunk, chunk, k),
-            g.reshape(n // chunk, chunk, -1),
-        ),
+    dattr, dfeats = _map_rows(
+        one, (attr3f, idx, rev_slot, mask, g), n, chunk
     )
     return (
-        _cast_like(dattr.reshape(n, k, c3), attr3f.dtype),
-        _cast_like(dfeats.reshape(n, -1), feats9.dtype),
+        _cast_like(dattr, attr3f.dtype),
+        _cast_like(dfeats, feats9.dtype),
         None,
         None,
         None,
