@@ -79,6 +79,40 @@ def test_nve_energy_conservation():
     assert abs(e1 - e0) < 5e-3, (e0, e1)
 
 
+def test_run_md_multi_molecule_forces_all_segments():
+    """run_md with a packed multi-molecule batch + ghost padding: every
+    real molecule must feel forces (regression: num_mols defaulted to 1 so
+    segments >= 1 saw zero force), and ghosts must not trip overflow."""
+    pot = _potential(max_num_neighbors=16)
+    rng = np.random.RandomState(7)
+    n1, n2, n_pad = 5, 6, 16
+    z = np.zeros(n_pad, np.int32)
+    pos = np.zeros((n_pad, 3), np.float32)
+    seg = np.full(n_pad, 2, np.int32)
+    z[:n1] = rng.randint(1, 9, n1)
+    pos[:n1] = rng.uniform(-1.5, 1.5, (n1, 3))
+    seg[:n1] = 0
+    z[n1:n1 + n2] = rng.randint(1, 9, n2)
+    pos[n1:n1 + n2] = rng.uniform(-1.5, 1.5, (n2, 3)) + 50.0
+    seg[n1:n1 + n2] = 1
+    masses = np.where(z == 0, 1.0, ATOMIC_MASSES[z]).astype(np.float32)
+
+    state = run_md(
+        pot,
+        pot.init(jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(pos),
+                 jnp.asarray(seg), num_mols=2),
+        z, pos, masses, n_steps=10, dt=0.5, batch=jnp.asarray(seg),
+        num_mols=2, temperature=None, rebuild_every=5, skin=1.0,
+    )
+    assert not bool(state.overflow)
+    moved2 = np.abs(np.asarray(state.pos)[n1:n1 + n2] -
+                    pos[n1:n1 + n2]).max()
+    assert moved2 > 1e-5, "molecule 1 saw no forces"
+    ghost_moved = np.abs(np.asarray(state.pos)[n1 + n2:] -
+                         pos[n1 + n2:]).max()
+    assert ghost_moved == 0.0
+
+
 def test_run_md_cell_strategy_infers_grid():
     """run_md with neighbor_strategy='cell' must work WITHOUT an explicit
     cells_per_dim: the static grid dims are derived from the concrete box

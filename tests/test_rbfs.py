@@ -51,3 +51,29 @@ def test_gaussian_matches():
         offset, coeff = gauss_initial_params(lo, hi, n)
         ours = np.asarray(gauss_rbf(jnp.asarray(d), offset, coeff))
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_glu_swiglu_match_reference():
+    """GLU / SwiGLU modules vs the reference torch utility classes with
+    identical weights (reference models/utils.py:410-499)."""
+    import jax
+    from torchmdnet.models.utils import SwiGLU as RefSwiGLU
+    from torchmdnet_tpu.models.common import SwiGLU
+
+    torch.manual_seed(0)
+    ref = RefSwiGLU(6, hidden_features=10, beta=1.3)
+    x = np.random.RandomState(1).randn(5, 6).astype(np.float32)
+    want = ref(torch.tensor(x)).detach().numpy()
+
+    m = SwiGLU(10, beta=1.3)
+    v = m.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = {
+        "glu": {
+            "W": {"kernel": ref.glu.W.weight.detach().numpy().T,
+                  "bias": ref.glu.W.bias.detach().numpy()},
+            "V": {"kernel": ref.glu.V.weight.detach().numpy().T,
+                  "bias": ref.glu.V.bias.detach().numpy()},
+        }
+    }
+    got = m.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-6, atol=1e-6)

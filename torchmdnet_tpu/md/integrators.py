@@ -108,8 +108,15 @@ def make_md_step(
             cells_per_dim = tuple(int(d) for d in dims)
         nbr_kwargs["cells_per_dim"] = cells_per_dim
 
+    # Exclude padding/ghost atoms (extra segment num_mols) from the
+    # neighbor lists — co-located ghosts would otherwise fill each other's
+    # K slots and raise a spurious overflow flag.
+    atom_mask = jnp.asarray(batch) < num_mols
+
     def build_nbr(pos):
-        return build_neighbor_matrix(pos, batch, **nbr_kwargs)
+        return build_neighbor_matrix(
+            pos, batch, atom_mask=atom_mask, **nbr_kwargs
+        )
 
     def energy(pos, nbr_idx, nbr_mask, nbr_rev):
         nbr = NeighborMatrix(
@@ -183,17 +190,23 @@ def make_md_step(
 
 
 def run_md(potential, variables, z, pos, masses, *, n_steps, dt=1.0,
-           batch=None, box=None, q=None, temperature=None, gamma=0.01,
-           rebuild_every=25, skin=1.0, seed=0, neighbor_strategy="brute",
-           cells_per_dim=None):
+           batch=None, num_mols=1, box=None, q=None, temperature=None,
+           gamma=0.01, rebuild_every=25, skin=1.0, seed=0,
+           neighbor_strategy="brute", cells_per_dim=None):
     """Run ``n_steps`` of MD fully on device; returns the final
-    :class:`MDState` (check ``state.overflow``!)."""
+    :class:`MDState` (check ``state.overflow``!).
+
+    ``num_mols`` must cover every real segment in ``batch`` (entries equal
+    to ``num_mols`` are padding/ghost atoms); molecules beyond it would
+    silently see zero forces.
+    """
     n = pos.shape[0]
     if batch is None:
         batch = jnp.zeros((n,), jnp.int32)
     init_state, chunk, _ = make_md_step(
         potential, variables, jnp.asarray(z), batch, masses,
-        dt=dt, box=box, q=q, rebuild_every=rebuild_every, skin=skin,
+        dt=dt, num_mols=num_mols, box=box, q=q,
+        rebuild_every=rebuild_every, skin=skin,
         temperature=temperature, gamma=gamma,
         neighbor_strategy=neighbor_strategy, cells_per_dim=cells_per_dim,
     )

@@ -178,6 +178,36 @@ ACTIVATIONS: dict = {
 }
 
 
+class GLU(nn.Module):
+    """Gated linear unit ``W(x) * act(V(x))`` (reference ``GLU``,
+    models/utils.py:410-437; torch naming: submodules ``W`` / ``V``)."""
+
+    hidden_channels: int
+    activation: Callable = jax.nn.sigmoid
+
+    @nn.compact
+    def __call__(self, x):
+        w = Linear(self.hidden_channels, name="W")(x)
+        v = Linear(self.hidden_channels, name="V")(x)
+        return w * self.activation(v)
+
+
+class SwiGLU(nn.Module):
+    """SwiGLU: GLU gated by Swish (reference ``SwiGLU``,
+    models/utils.py:476-499; wraps a ``glu`` submodule)."""
+
+    hidden_features: int
+    beta: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        return GLU(
+            self.hidden_features,
+            activation=lambda v: v * jax.nn.sigmoid(self.beta * v),
+            name="glu",
+        )(x)
+
+
 def get_activation(name: str) -> Callable:
     if name not in ACTIVATIONS:
         raise ValueError(

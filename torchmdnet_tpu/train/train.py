@@ -14,6 +14,16 @@ def main(argv=None):
 
     args = get_args(argv)
     hp = vars(args)
+    # write the fully-resolved config next to the logs (reference
+    # scripts/train.py:153 `save_argparse(args, input.yaml)`)
+    if hp.get("log_dir"):
+        from torchmdnet_tpu.utils.config import save_argparse
+
+        os.makedirs(hp["log_dir"], exist_ok=True)
+        save_argparse(
+            args, os.path.join(hp["log_dir"], "input.yaml"),
+            exclude=["conf"],
+        )
     if int(hp.get("num_nodes", 1) or 1) > 1:
         # multi-host rendezvous (replaces the reference's NODE_RANK/
         # MASTER_ADDR NCCL setup, README.md:121-144)
