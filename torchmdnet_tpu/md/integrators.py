@@ -157,17 +157,29 @@ def make_md_step(
             key, state.step + 1, state.overflow,
         )
 
-    def chunk(state: MDState) -> MDState:
+    # Rebuild and integration run as SEPARATE dispatches: one fused jit
+    # needs peak(build temps + force-grad graph) HBM simultaneously, which
+    # overflows at the 25k/K=96 config; two dispatches let XLA reuse the
+    # arena between them (the extra launch costs ~µs per rebuild_every
+    # steps).
+    @jax.jit
+    def _rebuild(state: MDState) -> MDState:
         nbr = build_nbr(state.pos)
-        state = state._replace(
+        return state._replace(
             nbr_idx=nbr.idx,
             nbr_mask=nbr.mask,
             nbr_rev=nbr.rev_slot,
             overflow=state.overflow | nbr.overflow,
         )
+
+    @jax.jit
+    def _steps(state: MDState) -> MDState:
         return jax.lax.fori_loop(
             0, rebuild_every, lambda i, s: vv_step(s), state
         )
+
+    def chunk(state: MDState) -> MDState:
+        return _steps(_rebuild(state))
 
     def init_state(pos, vel=None, seed=0):
         pos = jnp.asarray(pos)
@@ -186,7 +198,7 @@ def make_md_step(
             jnp.zeros((), jnp.int32), nbr.overflow,
         )
 
-    return init_state, jax.jit(chunk), jax.jit(energy)
+    return init_state, chunk, jax.jit(energy)
 
 
 def run_md(potential, variables, z, pos, masses, *, n_steps, dt=1.0,
