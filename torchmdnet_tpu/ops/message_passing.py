@@ -108,13 +108,26 @@ def _expand_w9(attr3f):
     return jnp.concatenate([w0, w1, w1, w1, w2, w2, w2, w2, w2], axis=-1)
 
 
-def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024):
+# Gather sources at or below this size stay VMEM-resident on a v5e-class
+# chip, where XLA fuses x[idx] gathers at on-chip bandwidth (measured
+# 2026-08-16: ~30 TB/s effective for an 11.8 MB source vs ~0.2 TB/s once the
+# source lives in HBM).  Chunking through ``lax.map`` would force HBM
+# staging and throw that away, so below the threshold we don't chunk.
+_VMEM_RESIDENT_BYTES = 64 * 1024 * 1024
+
+
+def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024, src_bytes=None):
     """Rows per chunk so the transient [C, K, 9F] block stays in budget.
 
     The chunk does NOT have to divide n — map the chunks with
-    :func:`_map_rows`, which pads n up to a multiple. (Requiring a divisor
-    degenerates to chunk=1 for prime n: 25087 sequential map steps.)
+    :func:`_map_rows`, which pads n up to a chunk multiple. (Requiring a
+    divisor degenerates to chunk=1 for prime n: 25087 sequential map steps.)
+
+    ``src_bytes``: size of the array the rows gather from; when it fits in
+    VMEM (``_VMEM_RESIDENT_BYTES``) chunking is skipped entirely.
     """
+    if src_bytes is not None and src_bytes <= _VMEM_RESIDENT_BYTES:
+        return n
     per_row = k * c9 * 4
     c = max(budget_bytes // per_row, 8)
     return min(c, n)
@@ -122,7 +135,12 @@ def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024):
 
 def _map_rows(fn, arrays, n, chunk):
     """``lax.map`` ``fn`` over row-chunks of ``arrays`` (leading dim n),
-    zero-padding n up to a chunk multiple; returns outputs sliced to n."""
+    zero-padding n up to a chunk multiple; returns outputs sliced to n.
+
+    With ``chunk >= n`` the map (and its HBM staging of operands) is
+    skipped and ``fn`` runs on the full arrays."""
+    if chunk >= n:
+        return fn(arrays)
     n_pad = -(-n // chunk) * chunk
     if n_pad != n:
         arrays = tuple(
@@ -159,7 +177,7 @@ def _pns_impl(attr3f, feats9, idx, rev_slot, mask):
         feats9 = feats9.astype(ct)
     n, k, c3 = attr3f.shape
     f = c3 // 3
-    chunk = _row_chunks(n, k, 3 * c3)
+    chunk = _row_chunks(n, k, 3 * c3, src_bytes=feats9.size * feats9.dtype.itemsize)
 
     # Blockwise EINSUMS (dot_generals), row-chunked: expressing each
     # F-block's weighted neighbor sum as a dot lets XLA fuse the block's
@@ -206,7 +224,12 @@ def _pns_bwd(res, g):
     attr3f, feats9, idx, rev_slot, mask = res
     n, k, c3 = attr3f.shape
     f = c3 // 3
-    chunk = _row_chunks(n, k, 3 * c3)
+    # bwd gathers rows from feats9, attr3f AND g — all must be resident to
+    # skip chunking (attr3f is [N,K,3F]: at dhfr scale 252 MB ⇒ chunked).
+    src = max(feats9.size * feats9.dtype.itemsize,
+              attr3f.size * attr3f.dtype.itemsize,
+              g.size * g.dtype.itemsize)
+    chunk = _row_chunks(n, k, 3 * c3, src_bytes=src)
 
     def one(args):
         attr_c, idx_c, rev_c, mask_c, g_c = args
@@ -253,3 +276,114 @@ def _pns_bwd(res, g):
 
 
 packed_neighbor_sum.defvjp(_pns_fwd, _pns_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric-weight fast path (TensorNet interaction layers)
+# ---------------------------------------------------------------------------
+#
+# In the interaction layers the per-edge weights are functions of the edge
+# *distance* only (MLP(rbf(d))·C(d)·mask, ``models/tensornet.py::Interaction``;
+# reference ``tensornet.py:739-743``), so both directions of a pair carry the
+# same weight: attr3f[i, s_ij] == attr3f[j, s_ji].  Per channel the message
+# operator Y = A_w·X is then a *symmetric* matrix, and its transpose — the
+# entire backward w.r.t. features — is the forward operator itself.  No
+# reverse gathers, no element-granular ``attr3f[idx, rev_slot]`` fetch: the
+# feature backward costs exactly one forward (measured 2026-08-16: the
+# general _pns_bwd was ~9.5 ms/layer at dhfr scale vs ~2.7 ms for a forward).
+#
+# NOT valid when the edge features are direction-dependent (TensorNet2's
+# (q_i, q_j) pairs, the embedding's Zij) — those use the general op above.
+# Like the general op, exact transposition assumes the edge set itself is
+# symmetric (true below the overflow threshold; overflow drops pairs
+# one-sidedly and degrades both paths identically).
+
+
+def _pns_dattr_impl(g9, feats9, idx, mask):
+    """∂/∂attr3f of the packed neighbor sum: fold the [N,9F] cotangent back
+    over the irrep blocks.  out[n,k,bF+f] = Σ_{c∈block b} g9[n,c]·feats9[idx[n,k],c]."""
+    n, k = idx.shape
+    c9 = g9.shape[-1]
+    f = c9 // 9
+    src = max(feats9.size * feats9.dtype.itemsize,
+              g9.size * g9.dtype.itemsize)
+    chunk = _row_chunks(n, k, c9, src_bytes=src)
+
+    def one(args):
+        g_c, idx_c, mask_c = args
+        xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)  # [C,K,9F]
+        gb = g_c[:, None, :]
+        prod = gb * xj
+        d0 = prod[..., :f]
+        d1 = prod[..., f:2 * f] + prod[..., 2 * f:3 * f] + prod[..., 3 * f:4 * f]
+        d2 = (prod[..., 4 * f:5 * f] + prod[..., 5 * f:6 * f]
+              + prod[..., 6 * f:7 * f] + prod[..., 7 * f:8 * f]
+              + prod[..., 8 * f:])
+        return jnp.concatenate([d0, d1, d2], axis=-1)
+
+    return _map_rows(one, (g9, idx, mask), n, chunk)
+
+
+@jax.custom_vjp
+def _pns_dattr(g9, feats9, idx, rev_slot, mask):
+    return _pns_dattr_impl(g9, feats9, idx, mask)
+
+
+def _pns_dattr_fwd(g9, feats9, idx, rev_slot, mask):
+    return _pns_dattr(g9, feats9, idx, rev_slot, mask), (
+        g9, feats9, idx, rev_slot, mask
+    )
+
+
+def _pns_dattr_bwd(res, ct):
+    # ct: [N,K,3F] cotangent of dattr.  Both pieces reduce to the general
+    # packed sum (row gathers only): ∂g9 = Σ_k expand9(ct)·feats9[idx]
+    # — i.e. packed_neighbor_sum(ct, feats9); ∂feats9[j] picks up, from
+    # each incoming edge (i,s)↦j, expand9(ct)[i,s]·g9[i] — by the slot
+    # involution that is packed_neighbor_sum(gather_rev(ct), g9).
+    g9, feats9, idx, rev_slot, mask = res
+    dg = packed_neighbor_sum(ct, feats9, idx, rev_slot, mask)
+    ctrev = gather_rev(ct, idx, rev_slot, mask)
+    dfeats = packed_neighbor_sum(ctrev, g9, idx, rev_slot, mask)
+    return (
+        _cast_like(dg, g9.dtype),
+        _cast_like(dfeats, feats9.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+_pns_dattr.defvjp(_pns_dattr_fwd, _pns_dattr_bwd)
+
+
+@jax.custom_vjp
+def packed_neighbor_sum_sym(attr3f, feats9, idx, rev_slot, mask):
+    """:func:`packed_neighbor_sum` for edge-symmetric weights
+    (attr3f[i, s_ij] == attr3f[j, s_ji]): identical forward, but the
+    feature backward is the forward operator itself (symmetric A_w)."""
+    return _pns_impl(attr3f, feats9, idx, rev_slot, mask)
+
+
+def _pns_sym_fwd(attr3f, feats9, idx, rev_slot, mask):
+    return packed_neighbor_sum_sym(attr3f, feats9, idx, rev_slot, mask), (
+        attr3f, feats9, idx, rev_slot, mask
+    )
+
+
+def _pns_sym_bwd(res, g):
+    attr3f, feats9, idx, rev_slot, mask = res
+    # A_w symmetric ⇒ ∂feats = A_w·g — one more forward, recursively
+    # differentiable (force-training double backward reuses the same path).
+    dfeats = packed_neighbor_sum_sym(attr3f, g, idx, rev_slot, mask)
+    dattr = _pns_dattr(g, feats9, idx, rev_slot, mask)
+    return (
+        _cast_like(dattr, attr3f.dtype),
+        _cast_like(dfeats, feats9.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+packed_neighbor_sum_sym.defvjp(_pns_sym_fwd, _pns_sym_bwd)

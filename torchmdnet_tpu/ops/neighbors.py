@@ -93,6 +93,9 @@ def _adjacency_to_matrix(adj: jnp.ndarray, k_max: int) -> NeighborMatrix:
     """
     n, n_cand = adj.shape
     # Valid candidates score (n_cand - c) in [1, n_cand]; invalid score 0.
+    # (A cumsum+scatter compaction like the cell path's is ~10x SLOWER here:
+    # the scatter source is the full [N, N_cand] adjacency — measured
+    # 2026-08-16; top_k's sort is the better lowering at this shape.)
     col = jax.lax.broadcasted_iota(jnp.int32, (n, n_cand), 1)
     score = jnp.where(adj, n_cand - col, 0).astype(jnp.int32)
     k_eff = min(k_max, n_cand)

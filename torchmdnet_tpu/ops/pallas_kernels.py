@@ -104,13 +104,17 @@ def _bwd(interpret, res, g):
     x, cw, w1, b1, w2, b2, w3, b3 = res
     n, k, _ = x.shape
     # row-chunked recompute: the full-width vjp holds every [N,K,*]
-    # intermediate simultaneously (OOM at 25k atoms)
-    chunk = n
+    # intermediate simultaneously (OOM at 25k atoms).  Below ~4 GB of live
+    # vjp transients skip chunking — the lax.map staging costs ~2x at
+    # dhfr scale (measured 2026-08-16).
     per_row = k * (w3.shape[1] * 3) * 4 * 6  # rough live-bytes/row in vjp
-    budget = 2 * 1024**3
-    chunk = max(min(n, budget // per_row), 8)
-    while n % chunk:
-        chunk -= 1
+    if n * per_row <= 6 * 1024**3:
+        chunk = n
+    else:
+        budget = 2 * 1024**3
+        chunk = max(min(n, budget // per_row), 8)
+        while n % chunk:
+            chunk -= 1
     if chunk == n:
         _, vjp = jax.vjp(edge_mlp_jnp, *res)
         return vjp(g)
