@@ -108,11 +108,14 @@ def _expand_w9(attr3f):
     return jnp.concatenate([w0, w1, w1, w1, w2, w2, w2, w2, w2], axis=-1)
 
 
-# Gather sources at or below this size stay VMEM-resident on a v5e-class
-# chip, where XLA fuses x[idx] gathers at on-chip bandwidth (measured
-# 2026-08-16: ~30 TB/s effective for an 11.8 MB source vs ~0.2 TB/s once the
-# source lives in HBM).  Chunking through ``lax.map`` would force HBM
-# staging and throw that away, so below the threshold we don't chunk.
+# Below this gather-source size the whole reduction runs UNCHUNKED: one
+# fused XLA computation with no lax.map while-loop around it.  The win is
+# the staging, not cache residency: chunk operands/results round-trip
+# through scratch copies (copy-start/slice-start pairs in the profile) and
+# the loop serializes overlap; at dhfr scale unchunking the MP paths was
+# worth ~25% of the whole fwd+force step (measured 2026-08-16, device
+# trace).  Above the threshold transients must stay bounded (a full
+# [N,K,9F] block is 11 GB at the 25k/K=96 MD config).
 _VMEM_RESIDENT_BYTES = 64 * 1024 * 1024
 
 
