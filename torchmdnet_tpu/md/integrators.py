@@ -31,6 +31,7 @@ VEL2_FACTOR = KB_EV * ACC_FACTOR
 class MDState(NamedTuple):
     pos: jnp.ndarray  # [N, 3] Å
     vel: jnp.ndarray  # [N, 3] Å/fs
+    force: jnp.ndarray  # [N, 3] eV/Å at ``pos`` (carried: 1 grad/step)
     nbr_idx: jnp.ndarray
     nbr_mask: jnp.ndarray
     nbr_rev: jnp.ndarray
@@ -135,9 +136,12 @@ def make_md_step(
     grad_fn = jax.grad(energy, argnums=0)
 
     def vv_step(state: MDState) -> MDState:
-        f = -grad_fn(state.pos, state.nbr_idx, state.nbr_mask,
-                     state.nbr_rev)  # eV/Å
-        vel_half = state.vel + 0.5 * dt * f * inv_m * ACC_FACTOR
+        # Classic velocity Verlet with the force CARRIED in the state —
+        # one gradient evaluation per step (f(pos) was computed as f2 of
+        # the previous step; exact across rebuilds because edges beyond
+        # the cutoff contribute zero through the cosine window, so the
+        # skin-padded old and new index sets give identical forces).
+        vel_half = state.vel + 0.5 * dt * state.force * inv_m * ACC_FACTOR
         pos_new = state.pos + dt * vel_half
         f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask, state.nbr_rev)
         vel_new = vel_half + 0.5 * dt * f2 * inv_m * ACC_FACTOR
@@ -153,8 +157,8 @@ def make_md_step(
         else:
             key = state.key
         return MDState(
-            pos_new, vel_new, state.nbr_idx, state.nbr_mask, state.nbr_rev,
-            key, state.step + 1, state.overflow,
+            pos_new, vel_new, f2, state.nbr_idx, state.nbr_mask,
+            state.nbr_rev, key, state.step + 1, state.overflow,
         )
 
     # Rebuild and integration run as SEPARATE dispatches: one fused jit
@@ -181,6 +185,10 @@ def make_md_step(
     def chunk(state: MDState) -> MDState:
         return _steps(_rebuild(state))
 
+    _init_force = jax.jit(
+        lambda p, i, m, r: -grad_fn(p, i, m, r)
+    )
+
     def init_state(pos, vel=None, seed=0):
         pos = jnp.asarray(pos)
         nbr = build_nbr(pos)
@@ -193,8 +201,9 @@ def make_md_step(
                 )
             else:
                 vel = jnp.zeros_like(pos)
+        f0 = _init_force(pos, nbr.idx, nbr.mask, nbr.rev_slot)
         return MDState(
-            pos, jnp.asarray(vel), nbr.idx, nbr.mask, nbr.rev_slot, key,
+            pos, jnp.asarray(vel), f0, nbr.idx, nbr.mask, nbr.rev_slot, key,
             jnp.zeros((), jnp.int32), nbr.overflow,
         )
 
