@@ -149,3 +149,40 @@ def test_edge_list_format():
     got = set(zip(ei[0][valid].tolist(), ei[1][valid].tolist()))
     assert got == {(0, 1), (1, 0)}
     assert (ei[:, ~valid] == -1).all()
+
+
+def test_geometry_scatter_free_vjp_matches_plain():
+    """neighbor_geometry's rev_slot VJP (gather_pair_deltas) must equal the
+    plain scatter-add transpose to f32 tolerance, to second order."""
+    import jax
+    from torchmdnet_tpu.ops.neighbors import neighbor_geometry
+
+    rng = np.random.RandomState(3)
+    n = 40
+    pos = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 3)
+    nbr = brute_neighbor_matrix(pos, k_max=16, cutoff_upper=4.0, loop=True)
+    nbr_plain = nbr._replace(rev_slot=None)
+
+    def loss(nb):
+        def f(p):
+            delta, dist = neighbor_geometry(p, nb)
+            return jnp.sum(jnp.sin(delta) * dist[..., None])
+        return f
+
+    g_fast = jax.grad(loss(nbr))(pos)
+    g_plain = jax.grad(loss(nbr_plain))(pos)
+    np.testing.assert_allclose(np.asarray(g_fast), np.asarray(g_plain),
+                               rtol=1e-5, atol=1e-5)
+
+    # second order (force-training path): grad of a grad-dependent scalar
+    def meta(nb):
+        def f(p):
+            g = jax.grad(lambda q: jnp.sum(
+                neighbor_geometry(q, nb)[1] ** 2))(p)
+            return jnp.sum(g ** 2)
+        return f
+
+    h_fast = jax.grad(meta(nbr))(pos)
+    h_plain = jax.grad(meta(nbr_plain))(pos)
+    np.testing.assert_allclose(np.asarray(h_fast), np.asarray(h_plain),
+                               rtol=1e-4, atol=1e-4)

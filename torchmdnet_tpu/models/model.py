@@ -192,8 +192,12 @@ def _make_representation(args: dict):
     # analogue of the reference's fp16 training mode; 32/64 keep the input
     # dtype (f64 via jax_enable_x64).
     compute_dtype = jnp.bfloat16 if args.get("precision", 32) == 16 else None
+    cpd = args.get("cells_per_dim")
     shared = dict(
         dtype=compute_dtype,
+        neighbor_strategy=args.get("neighbor_strategy", "brute"),
+        cells_per_dim=tuple(int(c) for c in cpd) if cpd else None,
+        cell_capacity=int(args.get("cell_capacity", 64)),
         hidden_channels=args["embedding_dimension"],
         num_layers=args["num_layers"],
         num_rbf=args["num_rbf"],
@@ -212,6 +216,7 @@ def _make_representation(args: dict):
             equivariance_invariance_group=args["equivariance_invariance_group"],
             remat=bool(args.get("remat", False)),
             pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
+            tabulated_edge_mlp=int(args.get("tabulated_edge_mlp", 0)),
             **shared,
         ), False
     if model_name == "tensornet2":

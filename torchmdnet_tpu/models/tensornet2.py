@@ -165,10 +165,16 @@ class TensorNet2(nn.Module):
     equivariance_invariance_group: str = "O(3)"
     output_charges: bool = False
     neighbor_strategy: str = "brute"
+    cells_per_dim: Optional[tuple] = None  # static grid for "cell" under jit
+    cell_capacity: int = 64
     dtype: Optional[jnp.dtype] = None
     remat: bool = False
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
+        kwargs = {}
+        if self.neighbor_strategy == "cell":
+            kwargs = dict(cells_per_dim=self.cells_per_dim,
+                          cell_capacity=self.cell_capacity)
         return build_neighbor_matrix(
             pos,
             batch,
@@ -179,6 +185,7 @@ class TensorNet2(nn.Module):
             loop=True,
             box=box,
             atom_mask=atom_mask,
+            **kwargs,
         )
 
     @nn.compact

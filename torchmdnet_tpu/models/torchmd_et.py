@@ -177,9 +177,15 @@ class TorchMD_ET(nn.Module):
     max_num_neighbors: int = 32
     vector_cutoff: bool = False
     neighbor_strategy: str = "brute"
+    cells_per_dim: Optional[tuple] = None  # static grid for "cell" under jit
+    cell_capacity: int = 64
     dtype: Optional[jnp.dtype] = None
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None):
+        kwargs = {}
+        if self.neighbor_strategy == "cell":
+            kwargs = dict(cells_per_dim=self.cells_per_dim,
+                          cell_capacity=self.cell_capacity)
         return build_neighbor_matrix(
             pos, batch,
             strategy=self.neighbor_strategy,
@@ -189,6 +195,7 @@ class TorchMD_ET(nn.Module):
             loop=True,
             box=box,
             atom_mask=atom_mask,
+            **kwargs,
         )
 
     @nn.compact

@@ -124,9 +124,15 @@ class TorchMD_GN(nn.Module):
     max_num_neighbors: int = 32
     aggr: str = "add"
     neighbor_strategy: str = "brute"
+    cells_per_dim: Optional[tuple] = None  # static grid for "cell" under jit
+    cell_capacity: int = 64
     dtype: Optional[jnp.dtype] = None
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None):
+        kwargs = {}
+        if self.neighbor_strategy == "cell":
+            kwargs = dict(cells_per_dim=self.cells_per_dim,
+                          cell_capacity=self.cell_capacity)
         return build_neighbor_matrix(
             pos, batch,
             strategy=self.neighbor_strategy,
@@ -136,6 +142,7 @@ class TorchMD_GN(nn.Module):
             loop=False,
             box=box,
             atom_mask=atom_mask,
+            **kwargs,
         )
 
     @nn.compact

@@ -103,9 +103,15 @@ class TorchMD_T(nn.Module):
     max_z: int = 100
     max_num_neighbors: int = 32
     neighbor_strategy: str = "brute"
+    cells_per_dim: Optional[tuple] = None  # static grid for "cell" under jit
+    cell_capacity: int = 64
     dtype: Optional[jnp.dtype] = None
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None):
+        kwargs = {}
+        if self.neighbor_strategy == "cell":
+            kwargs = dict(cells_per_dim=self.cells_per_dim,
+                          cell_capacity=self.cell_capacity)
         return build_neighbor_matrix(
             pos, batch,
             strategy=self.neighbor_strategy,
@@ -115,6 +121,7 @@ class TorchMD_T(nn.Module):
             loop=True,
             box=box,
             atom_mask=atom_mask,
+            **kwargs,
         )
 
     @nn.compact

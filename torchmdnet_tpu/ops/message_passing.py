@@ -65,6 +65,39 @@ gather_rev.defvjp(_grev_fwd, _grev_bwd)
 
 
 @jax.custom_vjp
+def gather_pair_deltas(pos: jnp.ndarray, idx, rev_slot, mask):
+    """``delta[i,k] = pos[i] - pos[idx[i,k]]`` with a scatter-free VJP.
+
+    The default transpose of ``pos[idx]`` is an XLA scatter-add with
+    duplicate indices (~1.2 ms at dhfr scale in the force pass); with the
+    slot involution it is the row sum of the (self-adjoint) reverse gather:
+    ``dpos[j] = Σ_k ct[j,k] - Σ_k ct[idx[j,k], rev_slot[j,k]]``.
+    """
+    return pos[:, None, :] - pos[idx]
+
+
+def _gpd_fwd(pos, idx, rev_slot, mask):
+    return gather_pair_deltas(pos, idx, rev_slot, mask), (
+        idx, rev_slot, mask
+    )
+
+
+def _gpd_bwd(res, ct):
+    idx, rev_slot, mask = res
+    # ct on invalid slots must not contribute to the reverse term (their
+    # forward value is pos[i] - pos[i] but downstream zeroes them, so any
+    # nonzero ct there would corrupt dpos through the unmasked gather).
+    ct = jnp.where(mask[..., None], ct, 0.0)
+    dpos = jnp.sum(ct, axis=1) - jnp.sum(
+        gather_rev(ct, idx, rev_slot, mask), axis=1
+    )
+    return dpos, None, None, None
+
+
+gather_pair_deltas.defvjp(_gpd_fwd, _gpd_bwd)
+
+
+@jax.custom_vjp
 def gather_nodes(x: jnp.ndarray, idx, rev_slot, mask):
     """Masked node-feature gather ``x[idx]`` → [N, K, C] (0 on invalid
     slots), with a gather-based transpose."""

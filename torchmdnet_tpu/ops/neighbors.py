@@ -333,24 +333,38 @@ def _cell_neighbor_matrix_impl(
         cand_am = atom_mask[table_safe][ncell_id].reshape(n, C)
         adj &= atom_mask[:, None] & cand_am
 
-    # Compact candidates with cumsum + one unique-index scatter — far
-    # cheaper than a per-row top_k/sort over the 27·capacity candidates.
-    # Slot order = candidate order (stencil-cell, rank); valid-first, which
-    # is all reverse_slots/message passing require.
-    pos_in_row = jnp.cumsum(adj, axis=1, dtype=jnp.int32) - 1
-    keep = adj & (pos_in_row < k_max)
-    rowid = jax.lax.broadcasted_iota(jnp.int32, adj.shape, 0)
-    flat_t = jnp.where(keep, rowid * k_max + pos_in_row, n * k_max)
+    # Compact candidates to K slots.  Slot order = candidate order
+    # (stencil-cell, rank); valid-first, which is all reverse_slots/message
+    # passing require.  Two lowerings, picked by candidate width:
+    # * small C (≲1k): per-row top_k — the sort cost scales with C and beats
+    #   the element-granular scatter (~0.6 ms vs ~6 ms at dhfr scale);
+    # * large C: cumsum + one unique-index scatter — at the 25k/K=96 MD
+    #   config the [N, C] sort is the slower side.
     row = jax.lax.broadcasted_iota(jnp.int32, (n, k_max), 0)
-    idx = (
-        jnp.full((n * k_max + 1,), -1, jnp.int32)
-        .at[flat_t.reshape(-1)]
-        .set(cand_safe.reshape(-1).astype(jnp.int32), mode="drop",
-             unique_indices=True)[: n * k_max]
-        .reshape(n, k_max)
-    )
-    mask = idx >= 0
-    idx = jnp.where(mask, idx, row)
+    if C <= 1024:
+        col = jax.lax.broadcasted_iota(jnp.int32, (n, C), 1)
+        score = jnp.where(adj, C - col, 0).astype(jnp.int32)
+        top, _ = jax.lax.top_k(score, min(k_max, C))
+        if k_max > C:
+            top = jnp.pad(top, ((0, 0), (0, k_max - C)))
+        mask = top > 0
+        colidx = jnp.where(mask, C - top, 0)
+        idx = jnp.take_along_axis(cand_safe, colidx, axis=1).astype(jnp.int32)
+        idx = jnp.where(mask, idx, row)
+    else:
+        pos_in_row = jnp.cumsum(adj, axis=1, dtype=jnp.int32) - 1
+        keep = adj & (pos_in_row < k_max)
+        rowid = jax.lax.broadcasted_iota(jnp.int32, adj.shape, 0)
+        flat_t = jnp.where(keep, rowid * k_max + pos_in_row, n * k_max)
+        idx = (
+            jnp.full((n * k_max + 1,), -1, jnp.int32)
+            .at[flat_t.reshape(-1)]
+            .set(cand_safe.reshape(-1).astype(jnp.int32), mode="drop",
+                 unique_indices=True)[: n * k_max]
+            .reshape(n, k_max)
+        )
+        mask = idx >= 0
+        idx = jnp.where(mask, idx, row)
     count = adj.sum(axis=1).astype(jnp.int32)
     overflow = jnp.any(count > k_max) | cell_overflow
     from torchmdnet_tpu.ops.message_passing import reverse_slots
@@ -392,7 +406,15 @@ def neighbor_geometry(
     """
     idx = jax.lax.stop_gradient(nbr.idx)
     mask = jax.lax.stop_gradient(nbr.mask)
-    delta = pos[:, None, :] - pos[idx]
+    if nbr.rev_slot is not None:
+        from torchmdnet_tpu.ops.message_passing import gather_pair_deltas
+
+        # scatter-free VJP via the slot involution (see message_passing)
+        delta = gather_pair_deltas(
+            pos, idx, jax.lax.stop_gradient(nbr.rev_slot), mask
+        )
+    else:
+        delta = pos[:, None, :] - pos[idx]
     if box is not None:
         if batch is None:
             batch = jnp.zeros((pos.shape[0],), dtype=jnp.int32)

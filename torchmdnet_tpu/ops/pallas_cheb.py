@@ -1,0 +1,222 @@
+"""Pallas TPU evaluation of Chebyshev-tabulated edge filters.
+
+``cheb_filter(coeffs, d, fmask, lo, hi)`` evaluates a tabulated smooth
+filter family ``G(d) = Σ_j coeffs[j]·T_j(x(d))`` on every edge slot and
+multiplies by a zero-derivative float mask (pad/validity ∧ d<hi window):
+the per-edge replacement for TensorNet's three-layer edge MLP
+(see ops/cheb.py for the fit; reference ``tensornet.py:739-743``).
+
+Design notes (all measured, docs/PERF.md):
+
+* The naive jnp recurrence builds the [*, T] basis as a T-way stack —
+  a strided concatenate or a spilling 128-FMA chain, which ate the entire
+  FLOP saving.  Here the basis is the closed form ``cos(j·θ)``,
+  ``θ = arccos(x)``: one vectorized transcendental + one MXU matmul.
+* Mosaic has no ``acos`` lowering, so θ is computed by XLA *outside* the
+  kernel and passed in.  Autodiff never sees the arccos: the op carries an
+  analytic custom VJP — the x-derivative of a Chebyshev series is another
+  Chebyshev series (``cheb_deriv_coeffs``), so the backward is a recursive
+  ``cheb_filter`` call (differentiable to any order) plus a basis-projection
+  kernel for the coefficient gradient.
+* θ-form and recurrence-form basis agree to f32 rounding; the jnp fallback
+  (CPU tests / non-f32) uses the recurrence.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_N = 16
+
+
+def _prec():
+    from torchmdnet_tpu.ops.config import get_matmul_precision
+
+    return get_matmul_precision()
+
+
+def _kernel_prec():
+    p = _prec()
+    if p == jax.lax.Precision.HIGH:
+        return jax.lax.Precision.HIGHEST
+    return p
+
+
+def cheb_deriv_coeffs(coeffs: jnp.ndarray) -> jnp.ndarray:
+    """[T, C] series → [T, C] series of d/dx (degree drops by one).
+
+    Standard recurrence c'_j = c'_{j+2} + 2(j+1)·c_{j+1} (c'_0 halved),
+    unrolled in python (T is static and small).  Linear in ``coeffs`` —
+    differentiable for training.
+    """
+    T = coeffs.shape[0]
+    zero = jnp.zeros_like(coeffs[0])
+    dc = [zero for _ in range(T)]
+    if T >= 2:
+        dc[T - 2] = 2.0 * (T - 1) * coeffs[T - 1]
+    for j in range(T - 3, -1, -1):
+        dc[j] = dc[j + 2] + 2.0 * (j + 1) * coeffs[j + 1]
+    dc[0] = dc[0] * 0.5
+    return jnp.stack(dc, axis=0)
+
+
+def _theta(d, lo, hi):
+    x = jnp.clip(2.0 * (d.astype(jnp.float32) - lo) / (hi - lo) - 1.0,
+                 -1.0, 1.0)
+    return jnp.arccos(x)
+
+
+def _filter_kernel(th_ref, fm_ref, coeffs_ref, out_ref, *, k, T, f3):
+    e = TILE_N * k
+    th = th_ref[:].reshape(e, 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (e, T), 1).astype(jnp.float32)
+    basis = jnp.cos(th * j)
+    attr = jax.lax.dot_general(
+        basis, coeffs_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_kernel_prec(),
+    )
+    out_ref[:] = attr.reshape(TILE_N, k, f3) * fm_ref[:][..., None]
+
+
+def _project_kernel(th_ref, ctw_ref, out_ref, *, k, T, f3):
+    e = TILE_N * k
+    th = th_ref[:].reshape(e, 1)
+    j = jax.lax.broadcasted_iota(jnp.int32, (e, T), 1).astype(jnp.float32)
+    basis = jnp.cos(th * j)
+    acc = jax.lax.dot_general(
+        basis, ctw_ref[:].reshape(e, f3), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_kernel_prec(),
+    )
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    out_ref[:] += acc
+
+
+def _use_pallas(d):
+    return (
+        jax.default_backend() == "tpu"
+        and d.ndim == 2
+        and d.shape[0] % TILE_N == 0
+    )
+
+
+def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
+    n, k = d.shape
+    T, f3 = coeffs.shape
+    th3 = _theta(d, lo, hi)[..., None]  # [N, K, 1]
+    fm = fmask.astype(jnp.float32)
+    if _use_pallas(d) or interpret:
+        kernel = functools.partial(_filter_kernel, k=k, T=T, f3=f3)
+        vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            grid=(n // TILE_N,),
+            in_specs=[
+                pl.BlockSpec((TILE_N, k, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                vmem,
+            ],
+            out_specs=pl.BlockSpec((TILE_N, k, f3), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, k, f3), jnp.float32),
+            interpret=interpret,
+        )(th3, fm, coeffs.astype(jnp.float32))
+    # jnp fallback: same θ-form math (CPU tests, odd shapes)
+    j = jnp.arange(T, dtype=jnp.float32)
+    basis = jnp.cos(th3 * j)  # [N, K, T]
+    attr = jnp.einsum("nkt,tc->nkc", basis, coeffs.astype(jnp.float32),
+                      precision=_prec())
+    return attr * fm[..., None]
+
+
+def _project_impl(d, ctw, T, lo, hi, interpret):
+    n, k, f3 = ctw.shape
+    th3 = _theta(d, lo, hi)[..., None]
+    if _use_pallas(d) or interpret:
+        kernel = functools.partial(_project_kernel, k=k, T=T, f3=f3)
+        return pl.pallas_call(
+            kernel,
+            grid=(n // TILE_N,),
+            in_specs=[
+                pl.BlockSpec((TILE_N, k, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_N, k, f3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((T, f3), lambda i: (0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((T, f3), jnp.float32),
+            interpret=interpret,
+        )(th3, ctw.astype(jnp.float32))
+    j = jnp.arange(T, dtype=jnp.float32)
+    basis = jnp.cos(th3 * j)
+    return jnp.einsum("nkt,nkc->tc", basis, ctw.astype(jnp.float32),
+                      precision=_prec())
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def cheb_filter(coeffs, d, fmask, lo: float, hi: float,
+                interpret: bool = False):
+    """``fmask · Σ_j coeffs[j]·T_j(x(d))`` → [N, K, C] (f32).
+
+    ``fmask`` [N, K] float: pad/validity mask × (d < hi) window — must be
+    zero wherever the filter should not contribute (its derivative is
+    treated as zero).  ``coeffs`` [T, C] from ``ops.cheb.cheb_fit_matrix``.
+    """
+    return _filter_impl(coeffs, d, fmask, lo, hi, interpret)
+
+
+def _cf_fwd(coeffs, d, fmask, lo, hi, interpret):
+    return cheb_filter(coeffs, d, fmask, lo, hi, interpret), (
+        coeffs, d, fmask
+    )
+
+
+def _cf_bwd(lo, hi, interpret, res, ct):
+    coeffs, d, fmask = res
+    # ∂d: G'(d) = (2/(hi-lo))·Σ_j (D coeffs)[j]·T_j(x) — another tabulated
+    # filter ⇒ recursive cheb_filter call, differentiable to any order.
+    dser = cheb_deriv_coeffs(coeffs)
+    gprime = cheb_filter(dser, d, fmask, lo, hi, interpret)
+    dd = jnp.sum(ct * gprime, axis=-1) * (2.0 / (hi - lo))
+    dd = dd.astype(d.dtype)
+    # ∂coeffs: basisᵀ · (ct·fmask), projected over all edges.
+    dcoeffs = cheb_project(d, ct * fmask[..., None], coeffs.shape[0],
+                           lo, hi, interpret).astype(coeffs.dtype)
+    return dcoeffs, dd, None
+
+
+cheb_filter.defvjp(_cf_fwd, _cf_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def cheb_project(d, ctw, T: int, lo: float, hi: float,
+                 interpret: bool = False):
+    """Adjoint of :func:`cheb_filter` w.r.t. the coefficients:
+    ``out[j, c] = Σ_{n,k} T_j(x(d[n,k])) · ctw[n,k,c]`` → [T, C]."""
+    return _project_impl(d, ctw, T, lo, hi, interpret)
+
+
+def _cp_fwd(d, ctw, T, lo, hi, interpret):
+    return cheb_project(d, ctw, T, lo, hi, interpret), d
+
+
+def _cp_bwd(T, lo, hi, interpret, d, ct):
+    # linear in ctw; its cotangent is the filter evaluation with ct as the
+    # coefficient table.  d is treated as non-differentiable here (the
+    # projection appears only in parameter-gradient branches).
+    ones = jnp.ones(d.shape, jnp.float32)
+    dctw = cheb_filter(ct, d, ones, lo, hi, interpret)
+    return None, dctw
+
+
+cheb_project.defvjp(_cp_fwd, _cp_bwd)
