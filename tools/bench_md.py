@@ -1,0 +1,75 @@
+"""North-star MD benchmark (BASELINE.md config #5 scale): periodic random
+gas at liquid density, full on-device MD loop (cell rebuild every
+``MD_REBUILD`` steps + Langevin), one real TPU chip.
+
+Env knobs: MD_N (atoms, default 25088), MD_K (neighbor slots, 96; the
+random gas needs 128 at cutoff 4.5 + skin 1.0 to stay overflow-free),
+MD_TAB (Chebyshev terms, 128), MD_REBUILD (25), MD_REMAT (1).
+Numbers recorded in docs/PERF.md.
+"""
+import os, sys, time
+import numpy as np
+import jax, jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from torchmdnet_tpu.models.model import create_model
+from torchmdnet_tpu.md.integrators import make_md_step
+
+N = int(os.environ.get("MD_N", 25088))
+TAB = int(os.environ.get("MD_TAB", 128))
+K = int(os.environ.get("MD_K", 96))
+REBUILD = int(os.environ.get("MD_REBUILD", 25))
+rng = np.random.RandomState(0)
+L = (N / 0.1) ** (1.0 / 3.0)
+if os.environ.get("MD_SYS", "gas") == "lattice":
+    # Condensed-matter-like: jittered cubic lattice at the same density.
+    # Bounded local occupancy (like a real solvated system) ⇒ K=96 is
+    # honest; the ideal-gas system needs K=128 purely from Poisson tails.
+    npd = int(np.ceil(N ** (1.0 / 3.0)))
+    a = L / npd
+    g = (np.stack(np.meshgrid(*[np.arange(npd)] * 3, indexing="ij"), -1)
+         .reshape(-1, 3)[:N] + 0.5)
+    pos = (g * a + rng.uniform(-0.3 * a, 0.3 * a, (N, 3))).astype(np.float32)
+else:
+    pos = rng.uniform(0, L, (N, 3)).astype(np.float32)
+z = rng.choice([1, 1, 6, 7, 8], N).astype(np.int32)
+masses = np.where(z == 1, 1.008, 12.011).astype(np.float64)
+box = np.diag([L, L, L]).astype(np.float32)
+
+args = dict(
+    model="tensornet", embedding_dimension=128, num_layers=2, num_rbf=32,
+    rbf_type="expnorm", trainable_rbf=False, activation="silu",
+    cutoff_lower=0.0, cutoff_upper=4.5, max_z=128, max_num_neighbors=K,
+    derivative=True, prior_model=None, output_model="Scalar",
+    reduce_op="sum", precision=32, equivariance_invariance_group="O(3)",
+    atom_filter=-1, remat=os.environ.get("MD_REMAT", "1") == "1", tabulated_edge_mlp=TAB,
+)
+pot = create_model(args)
+zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+batch = jnp.zeros((N,), jnp.int32)
+t0 = time.time()
+variables = jax.jit(lambda k, z_, p_, b_: pot.init(k, z_, p_, b_, num_mols=1, box=bj))(
+    jax.random.PRNGKey(0), zj, pj, batch)
+jax.block_until_ready(variables)
+print(f"init compile {time.time()-t0:.0f}s", flush=True)
+
+init_state, chunk, energy_fn = make_md_step(
+    pot, variables, zj, batch, masses, dt=0.5, num_mols=1, box=bj,
+    rebuild_every=REBUILD, skin=1.0, temperature=300.0,
+    neighbor_strategy="cell")
+t0 = time.time()
+state = init_state(pos, seed=1)
+jax.block_until_ready(state.pos)
+print(f"init_state (incl nbr compile) {time.time()-t0:.0f}s", flush=True)
+t0 = time.time()
+state = chunk(state)
+jax.block_until_ready(state.pos)
+print(f"first chunk (compile) {time.time()-t0:.0f}s", flush=True)
+t0 = time.time()
+n_chunks = 4
+for _ in range(n_chunks):
+    state = chunk(state)
+jax.block_until_ready(state.pos)
+dt = (time.time() - t0) / (n_chunks * REBUILD) * 1000
+print(f"N={N} K={K} tab={TAB}: {dt:.1f} ms/MD-step "
+      f"({1000.0/dt:.2f} steps/s), overflow={bool(state.overflow)}", flush=True)

@@ -151,17 +151,35 @@ def _expand_w9(attr3f):
 # [N,K,9F] block is 11 GB at the 25k/K=96 MD config).
 _VMEM_RESIDENT_BYTES = 64 * 1024 * 1024
 
+# Transient budget for the row-chunked reductions.  Bigger chunks mean
+# fewer lax.map steps (each step pays operand staging + serialization);
+# at the 25k/K=128 MD config the 256 MB default gives ~58 serial steps
+# per MP pass.  Overridable for experiments via TMDNET_MP_BUDGET_MB.
+import os as _os
 
-def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024, src_bytes=None):
+_CHUNK_BUDGET_BYTES = int(
+    _os.environ.get("TMDNET_MP_BUDGET_MB", "256")
+) * 1024 * 1024
+
+# Experimental: per-block gathers in the dattr backward (9 × [C,K,F]
+# instead of one [C,K,9F] gather).  Loses ~3 ms at dhfr scale (layout
+# copies) — A/B knob for the 25k chunked regime.
+_DATTR_BLOCKED = _os.environ.get("TMDNET_DATTR_BLOCKED", "0") == "1"
+
+
+def _row_chunks(n, k, c9, budget_bytes=None, src_bytes=None):
     """Rows per chunk so the transient [C, K, 9F] block stays in budget.
 
     The chunk does NOT have to divide n — map the chunks with
-    :func:`_map_rows`, which pads n up to a chunk multiple. (Requiring a
-    divisor degenerates to chunk=1 for prime n: 25087 sequential map steps.)
+    :func:`_map_rows`, which handles the remainder with a tail call.
+    (Requiring a divisor degenerates to chunk=1 for prime n: 25087
+    sequential map steps.)
 
     ``src_bytes``: size of the array the rows gather from; when it fits in
     VMEM (``_VMEM_RESIDENT_BYTES``) chunking is skipped entirely.
     """
+    if budget_bytes is None:
+        budget_bytes = _CHUNK_BUDGET_BYTES
     if src_bytes is not None and src_bytes <= _VMEM_RESIDENT_BYTES:
         return n
     per_row = k * c9 * 4
@@ -171,25 +189,28 @@ def _row_chunks(n, k, c9, budget_bytes=256 * 1024 * 1024, src_bytes=None):
 
 def _map_rows(fn, arrays, n, chunk):
     """``lax.map`` ``fn`` over row-chunks of ``arrays`` (leading dim n),
-    zero-padding n up to a chunk multiple; returns outputs sliced to n.
+    handling a non-dividing remainder with one extra ``fn`` call on the
+    tail rows (zero-padding n up to a chunk multiple copies the *entire*
+    operand — a 4.7 GB pad per MP pass at the 25k/K=128 MD config).
 
     With ``chunk >= n`` the map (and its HBM staging of operands) is
     skipped and ``fn`` runs on the full arrays."""
     if chunk >= n:
         return fn(arrays)
-    n_pad = -(-n // chunk) * chunk
-    if n_pad != n:
-        arrays = tuple(
-            jnp.pad(a, [(0, n_pad - n)] + [(0, 0)] * (a.ndim - 1))
-            for a in arrays
-        )
+    main = n - n % chunk
     out = jax.lax.map(
         fn,
-        tuple(a.reshape((n_pad // chunk, chunk) + a.shape[1:])
+        tuple(a[:main].reshape((main // chunk, chunk) + a.shape[1:])
               for a in arrays),
     )
+    out = jax.tree.map(
+        lambda o: o.reshape((main,) + o.shape[2:]), out
+    )
+    if main == n:
+        return out
+    tail = fn(tuple(a[main:] for a in arrays))
     return jax.tree.map(
-        lambda o: o.reshape((n_pad,) + o.shape[2:])[:n], out
+        lambda o, t: jnp.concatenate([o, t], axis=0), out, tail
     )
 
 
@@ -347,6 +368,18 @@ def _pns_dattr_impl(g9, feats9, idx, mask):
 
     def one(args):
         g_c, idx_c, mask_c = args
+        if _DATTR_BLOCKED:
+            maskf = mask_c[..., None]
+
+            def blk(b):
+                xjb = jnp.where(
+                    maskf, feats9[:, b * f:(b + 1) * f][idx_c], 0.0)
+                return g_c[:, None, b * f:(b + 1) * f] * xjb
+
+            d0 = blk(0)
+            d1 = blk(1) + blk(2) + blk(3)
+            d2 = blk(4) + blk(5) + blk(6) + blk(7) + blk(8)
+            return jnp.concatenate([d0, d1, d2], axis=-1)
         xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)  # [C,K,9F]
         gb = g_c[:, None, :]
         prod = gb * xj

@@ -70,11 +70,21 @@ def _theta(d, lo, hi):
     return jnp.arccos(x)
 
 
+def _basis(th_ref, k, T):
+    # θ enters as a dense [TILE_N, K] block — an [E, 1] input array would
+    # be lane-padded 1 → 128 by the (8,128) tiling (a 128× HBM blow-up,
+    # 1.5 GB per call at the 25k MD config).  The [TILE_N, K, T] broadcast
+    # happens in-kernel (vector layout, no padding) and the leading-axis
+    # collapse to [E, T] is a legal sublane-side reshape.
+    th3 = th_ref[:][..., None]  # [tn, k, 1]
+    j = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_N, k, T), 2
+    ).astype(jnp.float32)
+    return jnp.cos(th3 * j).reshape(TILE_N * k, T)
+
+
 def _filter_kernel(th_ref, fm_ref, coeffs_ref, out_ref, *, k, T, f3):
-    e = TILE_N * k
-    th = th_ref[:].reshape(e, 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (e, T), 1).astype(jnp.float32)
-    basis = jnp.cos(th * j)
+    basis = _basis(th_ref, k, T)
     attr = jax.lax.dot_general(
         basis, coeffs_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_kernel_prec(),
@@ -84,9 +94,7 @@ def _filter_kernel(th_ref, fm_ref, coeffs_ref, out_ref, *, k, T, f3):
 
 def _project_kernel(th_ref, ctw_ref, out_ref, *, k, T, f3):
     e = TILE_N * k
-    th = th_ref[:].reshape(e, 1)
-    j = jax.lax.broadcasted_iota(jnp.int32, (e, T), 1).astype(jnp.float32)
-    basis = jnp.cos(th * j)
+    basis = _basis(th_ref, k, T)
     acc = jax.lax.dot_general(
         basis, ctw_ref[:].reshape(e, f3), (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=_kernel_prec(),
@@ -110,7 +118,7 @@ def _use_pallas(d):
 def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
     n, k = d.shape
     T, f3 = coeffs.shape
-    th3 = _theta(d, lo, hi)[..., None]  # [N, K, 1]
+    th = _theta(d, lo, hi)  # [N, K]
     fm = fmask.astype(jnp.float32)
     if _use_pallas(d) or interpret:
         kernel = functools.partial(_filter_kernel, k=k, T=T, f3=f3)
@@ -119,7 +127,7 @@ def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
             kernel,
             grid=(n // TILE_N,),
             in_specs=[
-                pl.BlockSpec((TILE_N, k, 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -129,10 +137,10 @@ def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, k, f3), jnp.float32),
             interpret=interpret,
-        )(th3, fm, coeffs.astype(jnp.float32))
+        )(th, fm, coeffs.astype(jnp.float32))
     # jnp fallback: same θ-form math (CPU tests, odd shapes)
     j = jnp.arange(T, dtype=jnp.float32)
-    basis = jnp.cos(th3 * j)  # [N, K, T]
+    basis = jnp.cos(th[..., None] * j)  # [N, K, T]
     attr = jnp.einsum("nkt,tc->nkc", basis, coeffs.astype(jnp.float32),
                       precision=_prec())
     return attr * fm[..., None]
@@ -140,14 +148,14 @@ def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
 
 def _project_impl(d, ctw, T, lo, hi, interpret):
     n, k, f3 = ctw.shape
-    th3 = _theta(d, lo, hi)[..., None]
+    th = _theta(d, lo, hi)
     if _use_pallas(d) or interpret:
         kernel = functools.partial(_project_kernel, k=k, T=T, f3=f3)
         return pl.pallas_call(
             kernel,
             grid=(n // TILE_N,),
             in_specs=[
-                pl.BlockSpec((TILE_N, k, 1), lambda i: (i, 0, 0),
+                pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((TILE_N, k, f3), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM),
@@ -156,9 +164,9 @@ def _project_impl(d, ctw, T, lo, hi, interpret):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, f3), jnp.float32),
             interpret=interpret,
-        )(th3, ctw.astype(jnp.float32))
+        )(th, ctw.astype(jnp.float32))
     j = jnp.arange(T, dtype=jnp.float32)
-    basis = jnp.cos(th3 * j)
+    basis = jnp.cos(th[..., None] * j)
     return jnp.einsum("nkt,nkc->tc", basis, ctw.astype(jnp.float32),
                       precision=_prec())
 
