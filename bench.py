@@ -143,6 +143,7 @@ def bench_train():
         output_model="Scalar", reduce_op="sum", precision=32,
         equivariance_invariance_group="O(3)", atom_filter=-1,
         pallas_edge_mlp=False,
+        tabulated_edge_mlp=int(os.environ.get("BENCH_TRAIN_TAB", 0)),
     )
     pot = create_model(args)
 

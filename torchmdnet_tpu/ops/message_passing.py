@@ -161,9 +161,11 @@ _CHUNK_BUDGET_BYTES = int(
     _os.environ.get("TMDNET_MP_BUDGET_MB", "256")
 ) * 1024 * 1024
 
-# Experimental: per-block gathers in the dattr backward (9 × [C,K,F]
-# instead of one [C,K,9F] gather).  Loses ~3 ms at dhfr scale (layout
-# copies) — A/B knob for the 25k chunked regime.
+# Per-block gathers in the dattr backward (9 × [C,K,F] instead of one
+# [C,K,9F] gather): wins 7% per MD step in the chunked large-N regime
+# (922 vs 996 ms at 25k/K=128) but loses ~3 ms at dhfr scale, where the
+# unchunked whole-array version triggers global layout copies.  Selected
+# automatically by whether row-chunking is active; the env knob forces it.
 _DATTR_BLOCKED = _os.environ.get("TMDNET_DATTR_BLOCKED", "0") == "1"
 
 
@@ -366,9 +368,11 @@ def _pns_dattr_impl(g9, feats9, idx, mask):
               g9.size * g9.dtype.itemsize)
     chunk = _row_chunks(n, k, c9, src_bytes=src)
 
+    blocked = _DATTR_BLOCKED or chunk < n
+
     def one(args):
         g_c, idx_c, mask_c = args
-        if _DATTR_BLOCKED:
+        if blocked:
             maskf = mask_c[..., None]
 
             def blk(b):
