@@ -173,6 +173,17 @@ def test_cheb_filter_kernel_and_vjp():
 
     gc_f, gd_f = jax.grad(loss_fast, argnums=(0, 1))(coeffs, d)
     gc_r, gd_r = jax.grad(loss_ref, argnums=(0, 1))(coeffs, d)
+
+    # interpret-mode kernels must produce the same gradients (exercises
+    # the fused filter-dot and projection kernels)
+    gc_i, gd_i = jax.grad(
+        lambda c, dd: jnp.sum(cheb_filter(c, dd, fm, 0.0, hi, True) * ct),
+        argnums=(0, 1),
+    )(coeffs, d)
+    np.testing.assert_allclose(np.asarray(gd_i), np.asarray(gd_f),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gc_i), np.asarray(gc_f),
+                               rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(gd_f), np.asarray(gd_r),
                                rtol=1e-3, atol=2e-4)
     np.testing.assert_allclose(np.asarray(gc_f), np.asarray(gc_r),
@@ -195,3 +206,40 @@ def test_cheb_filter_kernel_and_vjp():
     cscale = max(1.0, float(np.abs(np.asarray(mc_r)).max()))
     np.testing.assert_allclose(np.asarray(mc_f), np.asarray(mc_r),
                                rtol=0, atol=1e-3 * cscale)
+
+
+def test_fused_embedding_matches_reference_path():
+    """pallas_embedding=True (fused radial-embedding kernel, interpret mode
+    on CPU) must match the plain jnp embedding in energies, forces and
+    parameter gradients."""
+    rng = np.random.RandomState(2)
+    n = 16
+    z = jnp.asarray(rng.randint(1, 9, n), jnp.int32)
+    pos = jnp.asarray(rng.randn(n, 3).astype(np.float32) * 2.0)
+    batch = jnp.asarray(np.zeros(n, np.int32))
+
+    pot0 = create_model(_args(0))
+    pot1 = create_model(_args(0, pallas_embedding=True))
+    variables = pot0.init(jax.random.PRNGKey(0), z, pos, batch, num_mols=1)
+
+    y0, f0 = jax.jit(lambda v, p: pot0.apply(v, z, p, batch, num_mols=1))(
+        variables, pos)
+    y1, f1 = jax.jit(lambda v, p: pot1.apply(v, z, p, batch, num_mols=1))(
+        variables, pos)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(f1), np.asarray(f0),
+                               rtol=1e-4, atol=1e-5)
+
+    def loss(pot):
+        def inner(v, p):
+            yy, ff = pot.apply(v, z, p, batch, num_mols=1)
+            return jnp.sum(yy**2) + jnp.sum(ff**2)
+        return inner
+
+    g0 = jax.jit(jax.grad(loss(pot0)))(variables, pos)
+    g1 = jax.jit(jax.grad(loss(pot1)))(variables, pos)
+    for a0, a1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        scale = max(1.0, float(np.abs(np.asarray(a0)).max()))
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   rtol=0, atol=1e-4 * scale)

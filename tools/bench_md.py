@@ -4,7 +4,8 @@ gas at liquid density, full on-device MD loop (cell rebuild every
 
 Env knobs: MD_N (atoms, default 25088), MD_K (neighbor slots, 96; the
 random gas needs 128 at cutoff 4.5 + skin 1.0 to stay overflow-free),
-MD_TAB (Chebyshev terms, 128), MD_REBUILD (25), MD_REMAT (1).
+MD_TAB (Chebyshev terms, 128), MD_REBUILD (25), MD_REMAT (1),
+MD_EMB (fused radial-embedding kernel, 0).
 Numbers recorded in docs/PERF.md.
 """
 import os, sys, time
@@ -42,7 +43,9 @@ args = dict(
     cutoff_lower=0.0, cutoff_upper=4.5, max_z=128, max_num_neighbors=K,
     derivative=True, prior_model=None, output_model="Scalar",
     reduce_op="sum", precision=32, equivariance_invariance_group="O(3)",
-    atom_filter=-1, remat=os.environ.get("MD_REMAT", "1") == "1", tabulated_edge_mlp=TAB,
+    atom_filter=-1, remat=os.environ.get("MD_REMAT", "1") == "1",
+    tabulated_edge_mlp=TAB,
+    pallas_embedding=os.environ.get("MD_EMB", "0") == "1",
 )
 pot = create_model(args)
 zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)

@@ -217,6 +217,7 @@ def _make_representation(args: dict):
             remat=bool(args.get("remat", False)),
             pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
             tabulated_edge_mlp=int(args.get("tabulated_edge_mlp", 0)),
+            pallas_embedding=bool(args.get("pallas_embedding", False)),
             **shared,
         ), False
     if model_name == "tensornet2":

@@ -186,7 +186,15 @@ def _row_chunks(n, k, c9, budget_bytes=None, src_bytes=None):
         return n
     per_row = k * c9 * 4
     c = max(budget_bytes // per_row, 8)
-    return min(c, n)
+    if c >= n:
+        return n
+    # Prefer a divisor of n within [c/2, c]: a non-dividing chunk forces
+    # _map_rows to slice off the main block — a full copy of the operand
+    # (4 × 10.9 ms of [25088,96,384] slice copies per MD step at 25k).
+    for d in range(c, max(c // 2, 7), -1):
+        if n % d == 0:
+            return d
+    return c
 
 
 def _map_rows(fn, arrays, n, chunk):

@@ -92,6 +92,16 @@ def _filter_kernel(th_ref, fm_ref, coeffs_ref, out_ref, *, k, T, f3):
     out_ref[:] = attr.reshape(TILE_N, k, f3) * fm_ref[:][..., None]
 
 
+def _filter_dot_kernel(th_ref, fm_ref, coeffs_ref, ct_ref, out_ref, *,
+                       k, T, f3):
+    basis = _basis(th_ref, k, T)
+    g = jax.lax.dot_general(
+        basis, coeffs_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=_kernel_prec(),
+    ).reshape(TILE_N, k, f3)
+    out_ref[:] = jnp.sum(g * ct_ref[:], axis=-1) * fm_ref[:]
+
+
 def _project_kernel(th_ref, ctw_ref, out_ref, *, k, T, f3):
     e = TILE_N * k
     basis = _basis(th_ref, k, T)
@@ -191,12 +201,13 @@ def _cf_fwd(coeffs, d, fmask, lo, hi, interpret):
 
 def _cf_bwd(lo, hi, interpret, res, ct):
     coeffs, d, fmask = res
-    # ∂d: G'(d) = (2/(hi-lo))·Σ_j (D coeffs)[j]·T_j(x) — another tabulated
-    # filter ⇒ recursive cheb_filter call, differentiable to any order.
+    # ∂d: G'(d) = (2/(hi-lo))·Σ_j (D coeffs)[j]·T_j(x) — evaluated by the
+    # fused filter-dot kernel (materializing G' as [N,K,3F] and reducing
+    # costs ~37 ms/step at the 25k MD config; the fused kernel writes only
+    # [N,K]).  Differentiable: cheb_filter_dot carries its own VJP.
     dser = cheb_deriv_coeffs(coeffs)
-    gprime = cheb_filter(dser, d, fmask, lo, hi, interpret)
-    dd = jnp.sum(ct * gprime, axis=-1) * (2.0 / (hi - lo))
-    dd = dd.astype(d.dtype)
+    dd = cheb_filter_dot(dser, d, fmask, ct, lo, hi, interpret)
+    dd = (dd * (2.0 / (hi - lo))).astype(d.dtype)
     # ∂coeffs: basisᵀ · (ct·fmask), projected over all edges.
     dcoeffs = cheb_project(d, ct * fmask[..., None], coeffs.shape[0],
                            lo, hi, interpret).astype(coeffs.dtype)
@@ -204,6 +215,71 @@ def _cf_bwd(lo, hi, interpret, res, ct):
 
 
 cheb_filter.defvjp(_cf_fwd, _cf_bwd)
+
+
+def _filter_dot_impl(coeffs, d, fmask, ct, lo, hi, interpret):
+    n, k = d.shape
+    T, f3 = coeffs.shape
+    th = _theta(d, lo, hi)
+    fm = fmask.astype(jnp.float32)
+    if _use_pallas(d) or interpret:
+        kernel = functools.partial(_filter_dot_kernel, k=k, T=T, f3=f3)
+        return pl.pallas_call(
+            kernel,
+            grid=(n // TILE_N,),
+            in_specs=[
+                pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec((TILE_N, k, f3), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
+            interpret=interpret,
+        )(th, fm, coeffs.astype(jnp.float32), ct.astype(jnp.float32))
+    j = jnp.arange(T, dtype=jnp.float32)
+    basis = jnp.cos(th[..., None] * j)
+    g = jnp.einsum("nkt,tc->nkc", basis, coeffs.astype(jnp.float32),
+                   precision=_prec())
+    return jnp.sum(g * ct.astype(jnp.float32), axis=-1) * fm
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def cheb_filter_dot(coeffs, d, fmask, ct, lo: float, hi: float,
+                    interpret: bool = False):
+    """``out[n,k] = fmask·Σ_c (Σ_j coeffs[j]·T_j(x(d)))[c] · ct[n,k,c]`` —
+    the filter evaluation contracted with a cotangent, fused so the
+    [N,K,C] filter value never hits HBM (the d-gradient hot path)."""
+    return _filter_dot_impl(coeffs, d, fmask, ct, lo, hi, interpret)
+
+
+def _cfd_fwd(coeffs, d, fmask, ct, lo, hi, interpret):
+    return cheb_filter_dot(coeffs, d, fmask, ct, lo, hi, interpret), (
+        coeffs, d, fmask, ct
+    )
+
+
+def _cfd_bwd(lo, hi, interpret, res, cot):
+    coeffs, d, fmask, ct = res
+    # linear in ct: ∂ct = cot ⊗ G(d)·fmask
+    dct = cot[..., None] * cheb_filter(coeffs, d, fmask, lo, hi, interpret)
+    dct = dct.astype(ct.dtype)
+    # ∂d: contraction with the next-derivative series — recursive.
+    dser = cheb_deriv_coeffs(coeffs)
+    dd = cheb_filter_dot(dser, d, fmask, cot[..., None] * ct, lo, hi,
+                         interpret)
+    dd = (dd * (2.0 / (hi - lo))).astype(d.dtype)
+    dcoeffs = cheb_project(
+        d, (cot * fmask)[..., None] * ct, coeffs.shape[0], lo, hi, interpret
+    ).astype(coeffs.dtype)
+    return dcoeffs, dd, None, dct
+
+
+cheb_filter_dot.defvjp(_cfd_fwd, _cfd_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
