@@ -42,7 +42,7 @@ args = dict(
     rbf_type="expnorm", trainable_rbf=False, activation="silu",
     cutoff_lower=0.0, cutoff_upper=4.5, max_z=128, max_num_neighbors=K,
     derivative=True, prior_model=None, output_model="Scalar",
-    reduce_op="sum", precision=32, equivariance_invariance_group="O(3)",
+    reduce_op="sum", precision=int(os.environ.get("MD_PREC", 32)), equivariance_invariance_group="O(3)",
     atom_filter=-1, remat=os.environ.get("MD_REMAT", "1") == "1",
     tabulated_edge_mlp=TAB,
     pallas_embedding=os.environ.get("MD_EMB", "0") == "1",
