@@ -161,12 +161,12 @@ _CHUNK_BUDGET_BYTES = int(
     _os.environ.get("TMDNET_MP_BUDGET_MB", "256")
 ) * 1024 * 1024
 
-# Per-block gathers in the dattr backward (9 × [C,K,F] instead of one
-# [C,K,9F] gather): wins 7% per MD step in the chunked large-N regime
-# (922 vs 996 ms at 25k/K=128) but loses ~3 ms at dhfr scale, where the
-# unchunked whole-array version triggers global layout copies.  Selected
-# automatically by whether row-chunking is active; the env knob forces it.
-_DATTR_BLOCKED = _os.environ.get("TMDNET_DATTR_BLOCKED", "0") == "1"
+# dattr backward lowering: "temp" (one [C,K,9F] gather + slice folds),
+# "blocked" (9 per-block gathers — wins 7%/MD-step in the chunked large-N
+# regime but loses ~3 ms at dhfr where it flips global layouts), "einsum"
+# (block gathers fused into dot_generals).  "auto" = blocked when
+# row-chunking is active, temp otherwise.
+_DATTR_MODE = _os.environ.get("TMDNET_DATTR", "auto")
 
 
 def _row_chunks(n, k, c9, budget_bytes=None, src_bytes=None):
@@ -376,11 +376,27 @@ def _pns_dattr_impl(g9, feats9, idx, mask):
               g9.size * g9.dtype.itemsize)
     chunk = _row_chunks(n, k, c9, src_bytes=src)
 
-    blocked = _DATTR_BLOCKED or chunk < n
+    mode = _DATTR_MODE
+    if mode == "auto":
+        mode = "blocked" if chunk < n else "temp"
 
     def one(args):
         g_c, idx_c, mask_c = args
-        if blocked:
+        if mode == "einsum":
+            c = idx_c.shape[0]
+            x0 = feats9[:, :f][idx_c]
+            x1 = feats9[:, f:4 * f][idx_c].reshape(c, -1, 3, f)
+            x2 = feats9[:, 4 * f:][idx_c].reshape(c, -1, 5, f)
+            d0 = g_c[:, None, :f] * x0
+            d1 = jnp.einsum("cdf,ckdf->ckf",
+                            g_c[:, f:4 * f].reshape(c, 3, f), x1)
+            d2 = jnp.einsum("cdf,ckdf->ckf",
+                            g_c[:, 4 * f:].reshape(c, 5, f), x2)
+            return jnp.where(
+                mask_c[..., None], jnp.concatenate([d0, d1, d2], axis=-1),
+                0.0,
+            )
+        if mode == "blocked":
             maskf = mask_c[..., None]
 
             def blk(b):
