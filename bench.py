@@ -72,8 +72,18 @@ def main():
         # deviation ~2e-6 eV/Å vs the exact path.
         tabulated_edge_mlp=128,
     )
-    pot = create_model(args)
     z, pos, seg, box = build_system(N_ATOMS, N_PAD)
+    if N_ATOMS > 4096:
+        # O(N²) brute neighbor search is super-linear overhead at factorIX
+        # scale and OOMs at stmv scale; bin per step with the cell list.
+        dims = max(int(np.floor(box[0, 0] / args["cutoff_upper"])), 3)
+        occ = N_ATOMS / dims**3
+        args.update(
+            neighbor_strategy="cell",
+            cells_per_dim=(dims, dims, dims),
+            cell_capacity=int(np.ceil(occ * 2.5)),
+        )
+    pot = create_model(args)
     zj, pj, sj, bj = map(jnp.asarray, (z, pos, seg, box))
 
     variables = jax.jit(partial(pot.init, num_mols=1))(
@@ -95,7 +105,11 @@ def main():
     def chain(params, pos0, iters):
         def body(i, p):
             _, fstep = pot.apply(params, zj, p, sj, box=bj, num_mols=1)
-            return p + 0.0 * fstep
+            # non-foldable feedback: `0.0 * fstep` can be constant-folded
+            # into an identity loop by XLA (observed with the cell
+            # strategy); 1e-24·F keeps the dependency with no physical
+            # motion.
+            return p + 1e-24 * fstep
         return jax.lax.fori_loop(0, iters, body, pos0)
 
     out = chain(variables, pj, 2)  # compile
