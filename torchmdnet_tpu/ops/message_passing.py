@@ -153,12 +153,12 @@ _VMEM_RESIDENT_BYTES = 64 * 1024 * 1024
 
 # Transient budget for the row-chunked reductions.  Bigger chunks mean
 # fewer lax.map steps (each step pays operand staging + serialization);
-# at the 25k/K=128 MD config the 256 MB default gives ~58 serial steps
-# per MP pass.  Overridable for experiments via TMDNET_MP_BUDGET_MB.
+# 512 MB measured best at the 25k MD config (643.7 vs 656.6 ms/step at
+# 256 MB; 1 GB regressed).  Overridable via TMDNET_MP_BUDGET_MB.
 import os as _os
 
 _CHUNK_BUDGET_BYTES = int(
-    _os.environ.get("TMDNET_MP_BUDGET_MB", "256")
+    _os.environ.get("TMDNET_MP_BUDGET_MB", "512")
 ) * 1024 * 1024
 
 # dattr backward lowering: "temp" (one [C,K,9F] gather + slice folds),
