@@ -165,6 +165,15 @@ def get_argparse():
     parser.add_argument('--coulomb-cutoff', type=number, default=None)
     parser.add_argument('--coulomb-max-num-neighbors', type=int, default=None)
     parser.add_argument('--coulomb-neighbor-strategy', type=str, default='brute')
+    # TPU performance knobs (this framework's extensions; all default to
+    # the reference-equivalent exact paths)
+    parser.add_argument('--remat', type=bool, default=False, help='Selective rematerialization of layers in the backward (large N)')
+    parser.add_argument('--pallas-edge-mlp', type=bool, default=False, help='Fused Pallas edge-MLP kernel (f32/silu)')
+    parser.add_argument('--tabulated-edge-mlp', type=int, default=0, help='Chebyshev terms for spectrally tabulated edge filters; 0 = exact MLP (T=128 ~ 2e-6 force dev)')
+    parser.add_argument('--pallas-embedding', type=bool, default=False, help='Fused radial-embedding kernel (wins at >10k atoms)')
+    parser.add_argument('--neighbor-strategy', type=str, default='brute', choices=['brute', 'cell'])
+    parser.add_argument('--cells-per-dim', type=lambda x: list(yaml.safe_load(x)), default=None, help='Static cell grid for neighbor-strategy=cell under jit')
+    parser.add_argument('--cell-capacity', type=int, default=64)
     # other args
     parser.add_argument('--derivative', default=False, type=bool)
     parser.add_argument('--cutoff-lower', type=float, default=0.0)
