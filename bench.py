@@ -46,6 +46,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from torchmdnet_tpu.models.model import create_model
 
     args = dict(
@@ -143,6 +147,9 @@ def bench_train():
 
     from torchmdnet_tpu.models.model import create_model
     from torchmdnet_tpu.train.step import create_train_state, make_train_step
+    from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
 
     batch_mols = int(os.environ.get("BENCH_TRAIN_MOLS", 64))
     atoms_per_mol = 24

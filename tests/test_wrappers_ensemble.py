@@ -64,36 +64,47 @@ def test_atom_filter_rejects_derivative():
         create_model(_args(atom_filter=1, derivative=True))
 
 
-def test_tampered_rbf_buffer_refused(tmp_path):
-    """A checkpoint whose non-trainable RBF buffers were hand-edited must be
-    refused (they are config-derived constants here, not loadable state)."""
-    import pytest
+def test_nontrainable_rbf_buffers_load_from_checkpoint(tmp_path):
+    """Non-trainable RBF buffers are loaded from the checkpoint, like the
+    reference's unconditional ``load_state_dict`` of buffers — a
+    re-fitted-but-frozen RBF checkpoint must load faithfully, not fall
+    back to the config-derived initialization."""
     import torch
 
     rng = np.random.RandomState(2)
     n = 6
     z = rng.randint(1, 9, n).astype(np.int32)
     pos = rng.uniform(-2, 2, (n, 3)).astype(np.float32)
+    batch = np.zeros(n, np.int32)
     args = _args()
     pot = create_model(dict(args))
     variables = pot.init(
         jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(pos),
-        jnp.zeros(n, jnp.int32), num_mols=1,
+        jnp.asarray(batch), num_mols=1,
     )
     path = str(tmp_path / "m.ckpt")
     save_torch_checkpoint(path, pot, variables, hparams=args)
 
-    # untampered loads fine
-    load_model(path)
-
     ckpt = torch.load(path, weights_only=False)
     key = "model.representation_model.distance_expansion.means"
     assert key in ckpt["state_dict"]
-    ckpt["state_dict"][key] = ckpt["state_dict"][key] + 0.5
-    bad = str(tmp_path / "tampered.ckpt")
-    torch.save(ckpt, bad)
-    with pytest.raises(ValueError, match="distance_expansion.means"):
-        load_model(bad)
+    ckpt["state_dict"][key] = ckpt["state_dict"][key] + 0.1
+    mod = str(tmp_path / "refit.ckpt")
+    torch.save(ckpt, mod)
+
+    def energy(loaded):
+        p, v = loaded
+        y, _ = p.apply(v, jnp.asarray(z), jnp.asarray(pos),
+                       jnp.asarray(batch), num_mols=1)
+        return np.asarray(y)
+
+    y_orig = energy(load_model(path))
+    y_mod = energy(load_model(mod))
+    # the edited buffer must take effect
+    assert not np.allclose(y_orig, y_mod)
+    # and must agree with loading the same values as trainable params
+    y_trainable = energy(load_model(mod, trainable_rbf=True))
+    np.testing.assert_allclose(y_mod, y_trainable, rtol=1e-6, atol=1e-6)
 
 
 def test_ensemble_zip_and_list(tmp_path):

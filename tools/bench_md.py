@@ -15,6 +15,9 @@ import jax, jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from torchmdnet_tpu.models.model import create_model
 from torchmdnet_tpu.md.integrators import make_md_step
+from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
 
 N = int(os.environ.get("MD_N", 25088))
 TAB = int(os.environ.get("MD_TAB", 128))

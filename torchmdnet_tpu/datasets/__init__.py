@@ -8,7 +8,7 @@ torch_geometric ``Data``; download helpers are gated behind explicit calls
 from torchmdnet_tpu.datasets.memdataset import MemmappedDataset  # noqa: F401
 from torchmdnet_tpu.datasets.hdf import HDF5  # noqa: F401
 from torchmdnet_tpu.datasets.custom import Custom  # noqa: F401
-from torchmdnet_tpu.datasets.ace import Ace  # noqa: F401
+from torchmdnet_tpu.datasets.ace import Ace, AceHF  # noqa: F401
 from torchmdnet_tpu.datasets.ani import ANI1, ANI1CCX, ANI1X, ANI2X  # noqa: F401
 from torchmdnet_tpu.datasets.comp6 import (  # noqa: F401
     ANIMD,
@@ -32,6 +32,7 @@ from torchmdnet_tpu.datasets.mdcath import MDCATH  # noqa: F401
 
 __all__ = [
     "Ace",
+    "AceHF",
     "ANIMD",
     "ANI1",
     "ANI1CCX",

@@ -137,3 +137,90 @@ class Ace(MemmappedDataset):
                         if self.pre_transform is not None:
                             data = self.pre_transform(data)
                         yield data
+
+
+def download_gitea_dataset(path, tmpdir):
+    """Fetch a parquet file referenced by a gitea ``ssh://`` URL into
+    ``tmpdir`` via GitPython (reference ``datasets/ace.py:296-332``).
+    Requires network + GitPython; gated behind explicit use."""
+    try:
+        from git import Repo
+    except ImportError as exc:
+        raise ImportError(
+            "Could not import GitPython; install it to use gitea paths."
+        ) from exc
+
+    assert path.startswith("ssh://")
+    pieces = path.split("/")
+    repo_url = "/".join(pieces[:5])
+    user, repo_name = pieces[3], pieces[4]
+    file_name = pieces[-1]
+    branch = "main"
+    commit = None
+    if "branch" in pieces:
+        branch = pieces[pieces.index("branch") + 1]
+    if "commit" in pieces:
+        commit = pieces[pieces.index("commit") + 1]
+
+    outdir = os.path.join(tmpdir, f"{user}_{repo_name}")
+    if not os.path.exists(outdir):
+        repo = Repo.clone_from(repo_url, outdir, no_checkout=True)
+    else:
+        repo = Repo(outdir)
+    repo.remotes.origin.pull()
+    repo.git.checkout(commit if commit is not None else branch)
+    return os.path.join(outdir, file_name)
+
+
+class AceHF:
+    """HuggingFace-datasets variant of :class:`Ace`
+    (reference ``datasets/ace.py:335-392``): loads parquet shards through
+    ``datasets.load_dataset`` and serves the same dict samples
+    (z/pos/y/neg_dy/q/pq/dp) without the memmap conversion pass.
+
+    ``root`` is the HF builder name (default ``"parquet"``), ``paths`` the
+    data files (gitea ``ssh://`` URLs are fetched via GitPython)."""
+
+    def __init__(self, root="parquet", paths=None, split="train",
+                 max_gradient=None):
+        from datasets import load_dataset
+
+        newpaths = list(paths)
+        for i, path in enumerate(newpaths):
+            if "gitea" in path:
+                newpaths[i] = download_gitea_dataset(path, "/tmp")
+
+        self.dataset = load_dataset(root, data_files=newpaths, split=split)
+        if max_gradient is not None:
+
+            def _filter(x):
+                forces = np.asarray(x["forces"])
+                energy = np.asarray(x["formation_energy"])
+                if np.isnan(forces).any() or np.isnan(energy).any():
+                    return False
+                return np.max(np.linalg.norm(forces, axis=1)) < max_gradient
+
+            self.dataset = self.dataset.filter(
+                _filter, desc="Filtering",
+                num_proc=max((os.cpu_count() or 2) // 2, 1),
+            )
+        self.dataset = self.dataset.with_format("numpy")
+
+    def __len__(self):
+        return self.dataset.num_rows
+
+    def get(self, idx):
+        data = self.dataset[int(idx)]
+        return {
+            "z": np.asarray(data["atomic_numbers"], np.int64),
+            "pos": np.asarray(data["positions"], np.float32),
+            "y": np.asarray(data["formation_energy"],
+                            np.float64).reshape(1, 1),
+            "neg_dy": np.asarray(data["forces"], np.float32),
+            "q": np.int64(np.asarray(data["formal_charges"]).sum()),
+            "pq": np.asarray(data["partial_charges"], np.float32),
+            "dp": np.asarray(data["dipole_moment"], np.float32),
+        }
+
+    def __getitem__(self, idx):
+        return self.get(idx)

@@ -222,18 +222,27 @@ def get_activation(name: str) -> Callable:
 # ---------------------------------------------------------------------------
 
 class ExpNormalSmearing(nn.Module):
-    """Reference ``models/utils.py:356-407``."""
+    """Reference ``models/utils.py:356-407``.
+
+    ``initial_values`` overrides the config-derived (means, betas); the
+    checkpoint loader uses it so non-trainable torch *buffers* whose values
+    differ from the standard initialization still load faithfully
+    (reference loads buffers unconditionally via ``load_state_dict``)."""
 
     cutoff_lower: float = 0.0
     cutoff_upper: float = 5.0
     num_rbf: int = 50
     trainable: bool = True
+    initial_values: Optional[tuple] = None  # ((means...), (betas...))
 
     @nn.compact
     def __call__(self, dist):
         means0, betas0 = rbf_ops.expnorm_initial_params(
             self.cutoff_lower, self.cutoff_upper, self.num_rbf
         )
+        if self.initial_values is not None:
+            means0 = jnp.asarray(self.initial_values[0], means0.dtype)
+            betas0 = jnp.asarray(self.initial_values[1], betas0.dtype)
         if self.trainable:
             means = self.param("means", lambda k: means0)
             betas = self.param("betas", lambda k: betas0)
@@ -257,12 +266,16 @@ class GaussianSmearing(nn.Module):
     cutoff_upper: float = 5.0
     num_rbf: int = 50
     trainable: bool = True
+    initial_values: Optional[tuple] = None  # ((offset...), (coeff...))
 
     @nn.compact
     def __call__(self, dist):
         offset0, coeff0 = rbf_ops.gauss_initial_params(
             self.cutoff_lower, self.cutoff_upper, self.num_rbf
         )
+        if self.initial_values is not None:
+            offset0 = jnp.asarray(self.initial_values[0], offset0.dtype)
+            coeff0 = jnp.asarray(self.initial_values[1], coeff0.dtype)
         if self.trainable:
             offset = self.param("offset", lambda k: offset0)
             coeff = self.param("coeff", lambda k: coeff0)
@@ -276,7 +289,8 @@ class GaussianSmearing(nn.Module):
 RBF_CLASSES = {"gauss": GaussianSmearing, "expnorm": ExpNormalSmearing}
 
 
-def make_rbf(rbf_type, cutoff_lower, cutoff_upper, num_rbf, trainable, name):
+def make_rbf(rbf_type, cutoff_lower, cutoff_upper, num_rbf, trainable, name,
+             initial_values=None):
     if rbf_type not in RBF_CLASSES:
         raise ValueError(
             f'Unknown RBF type "{rbf_type}". Choose from {", ".join(RBF_CLASSES)}.'
@@ -287,6 +301,7 @@ def make_rbf(rbf_type, cutoff_lower, cutoff_upper, num_rbf, trainable, name):
         num_rbf=num_rbf,
         trainable=trainable,
         name=name,
+        initial_values=initial_values,
     )
 
 

@@ -186,7 +186,7 @@ def create_prior_models(args: dict, dataset=None) -> Tuple[nn.Module, ...]:
     return tuple(prior_models)
 
 
-def _make_representation(args: dict):
+def _make_representation(args: dict, rbf_initial=None):
     model_name = args["model"]
     # precision=16 selects bf16 compute (params stay f32) — the TPU-native
     # analogue of the reference's fp16 training mode; 32/64 keep the input
@@ -203,6 +203,7 @@ def _make_representation(args: dict):
         num_rbf=args["num_rbf"],
         rbf_type=args["rbf_type"],
         trainable_rbf=args["trainable_rbf"],
+        rbf_initial=rbf_initial,
         activation=args["activation"],
         cutoff_lower=float(args["cutoff_lower"]),
         cutoff_upper=float(args["cutoff_upper"]),
@@ -263,7 +264,8 @@ def _make_representation(args: dict):
     raise ValueError(f'Unknown architecture: {model_name}')
 
 
-def create_model(args: dict, prior_models=None, mean=None, std=None) -> Potential:
+def create_model(args: dict, prior_models=None, mean=None, std=None,
+                 rbf_initial=None) -> Potential:
     """Build a :class:`Potential` from a reference-compatible args dict
     (reference ``model.py:21-164``)."""
     args = dict(args)
@@ -279,7 +281,9 @@ def create_model(args: dict, prior_models=None, mean=None, std=None) -> Potentia
     args.setdefault("output_model", "Scalar")
     args.setdefault("reduce_op", "sum")
 
-    representation_model, is_equivariant = _make_representation(args)
+    representation_model, is_equivariant = _make_representation(
+        args, rbf_initial=rbf_initial
+    )
 
     if args["derivative"] and args["atom_filter"] > -1:
         raise ValueError("Derivative and atom filter can't be used together")

@@ -157,6 +157,7 @@ class TensorNet2(nn.Module):
     num_rbf: int = 32
     rbf_type: str = "expnorm"
     trainable_rbf: bool = False
+    rbf_initial: Optional[tuple] = None
     activation: str = "silu"
     cutoff_lower: float = 0.0
     cutoff_upper: float = 4.5
@@ -224,6 +225,7 @@ class TensorNet2(nn.Module):
         edge_attr = make_rbf(
             self.rbf_type, self.cutoff_lower, self.cutoff_upper, self.num_rbf,
             self.trainable_rbf, name="distance_expansion",
+            initial_values=self.rbf_initial,
         )(dist)
         safe_w = jnp.where(dist > 0, dist, 1.0)
         edge_vec_norm = delta / safe_w[..., None]

@@ -166,6 +166,7 @@ class TorchMD_ET(nn.Module):
     num_rbf: int = 50
     rbf_type: str = "expnorm"
     trainable_rbf: bool = True
+    rbf_initial: Optional[tuple] = None
     activation: str = "silu"
     attn_activation: str = "silu"
     neighbor_embedding: bool = True
@@ -213,6 +214,7 @@ class TorchMD_ET(nn.Module):
         edge_attr = make_rbf(
             self.rbf_type, self.cutoff_lower, self.cutoff_upper,
             self.num_rbf, self.trainable_rbf, name="distance_expansion",
+            initial_values=self.rbf_initial,
         )(dist)
         # normalize non-self edge vectors; self loops keep the zero vector
         # (reference :207-208)

@@ -93,6 +93,7 @@ class TorchMD_T(nn.Module):
     num_rbf: int = 50
     rbf_type: str = "expnorm"
     trainable_rbf: bool = True
+    rbf_initial: Optional[tuple] = None
     activation: str = "silu"
     attn_activation: str = "silu"
     neighbor_embedding: bool = True
@@ -136,6 +137,7 @@ class TorchMD_T(nn.Module):
         edge_attr = make_rbf(
             self.rbf_type, self.cutoff_lower, self.cutoff_upper,
             self.num_rbf, self.trainable_rbf, name="distance_expansion",
+            initial_values=self.rbf_initial,
         )(dist)
 
         if self.neighbor_embedding:

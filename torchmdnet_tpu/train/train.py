@@ -13,6 +13,9 @@ def main(argv=None):
     from torchmdnet_tpu.utils.config import get_args
 
     args = get_args(argv)
+    from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     hp = vars(args)
     # write the fully-resolved config next to the logs (reference
     # scripts/train.py:153 `save_argparse(args, input.yaml)`)

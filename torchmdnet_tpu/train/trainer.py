@@ -90,22 +90,43 @@ class CSVLogger:
 
 
 class ReduceLROnPlateau:
-    """Host-side plateau controller (torch semantics: mode=min)."""
+    """Host-side plateau controller with torch's full mode=min semantics
+    (torch/optim/lr_scheduler.py ReduceLROnPlateau): an epoch only counts
+    as an improvement when the metric beats ``best`` by ``threshold``
+    (relative by default, 1e-4), and a ``cooldown`` window after each
+    reduction suppresses the bad-epoch counter. The reference's LNNP
+    uses torch defaults for both (``module.py:131-137``)."""
 
-    def __init__(self, factor=0.8, patience=10, min_lr=1e-6):
+    def __init__(self, factor=0.8, patience=10, min_lr=1e-6,
+                 threshold=1e-4, threshold_mode="rel", cooldown=0):
+        if threshold_mode not in ("rel", "abs"):
+            raise ValueError(f"unknown threshold_mode {threshold_mode!r}")
         self.factor = factor
         self.patience = patience
         self.min_lr = min_lr
+        self.threshold = threshold
+        self.threshold_mode = threshold_mode
+        self.cooldown = cooldown
+        self.cooldown_counter = 0
         self.best = float("inf")
         self.bad_epochs = 0
 
+    def _is_better(self, metric):
+        if self.threshold_mode == "rel":
+            return metric < self.best * (1.0 - self.threshold)
+        return metric < self.best - self.threshold
+
     def step(self, metric, lr):
-        if metric < self.best:
+        if self._is_better(metric):
             self.best = metric
             self.bad_epochs = 0
-            return lr
-        self.bad_epochs += 1
+        else:
+            self.bad_epochs += 1
+        if self.cooldown_counter > 0:
+            self.cooldown_counter -= 1
+            self.bad_epochs = 0
         if self.bad_epochs > self.patience:
+            self.cooldown_counter = self.cooldown
             self.bad_epochs = 0
             return max(lr * self.factor, self.min_lr)
         return lr
@@ -184,6 +205,7 @@ class Trainer:
         )
         self.best_ckpts = []  # (metric, path), keep top-10
         self.best_metric = float("inf")
+        self.dropped_batches = 0  # DP remainder batches dropped this run
         self.state: Optional[TrainState] = None
         self._train_step = None
         self._eval_step = None
@@ -295,7 +317,17 @@ class Trainer:
                 }
                 yield shard_batch(self._mesh, stacked)
                 group = []
-        # remainder dropped (replicas must stay in lockstep)
+        if group:
+            # remainder dropped (replicas must stay in lockstep); surface
+            # the loss so silent data starvation is visible in logs
+            self.dropped_batches += len(group)
+            import warnings
+
+            warnings.warn(
+                f"data-parallel epoch dropped {len(group)} remainder "
+                f"batch(es) (< {self.n_devices} device group); "
+                f"{self.dropped_batches} dropped so far this run"
+            )
 
     def _to_device_batch(self, batch):
         out = {}

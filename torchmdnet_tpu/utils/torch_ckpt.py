@@ -292,10 +292,22 @@ def save_torch_checkpoint(filepath, potential, variables, hparams=None,
         }
 
     if not getattr(rep, "trainable_rbf", True):
-        for key, val in rbf_buffers(
-            "model.representation_model.distance_expansion",
-            rep.rbf_type, rep.cutoff_lower, rep.cutoff_upper, rep.num_rbf,
-        ).items():
+        if getattr(rep, "rbf_initial", None) is not None:
+            # checkpoint-provided buffer values round-trip verbatim
+            names = (("means", "betas") if rep.rbf_type == "expnorm"
+                     else ("offset", "coeff"))
+            buffers = {
+                f"model.representation_model.distance_expansion.{nm}":
+                torch.tensor(np.asarray(vals, np.float32))
+                for nm, vals in zip(names, rep.rbf_initial)
+            }
+        else:
+            buffers = rbf_buffers(
+                "model.representation_model.distance_expansion",
+                rep.rbf_type, rep.cutoff_lower, rep.cutoff_upper,
+                rep.num_rbf,
+            )
+        for key, val in buffers.items():
             state_dict.setdefault(key, val)
     state_dict.setdefault(
         "model.representation_model.distance.box", torch.zeros(3, 3)
@@ -374,36 +386,25 @@ def load_checkpoint_as_potential(filepath, args=None, **kwargs):
 
     sd = apply_reference_compat(raw_sd, args, hparams, kwargs)
 
-    # Non-trainable RBF parameters are torch *buffers*; here they are
-    # config-derived constants recomputed at module construction, so the
-    # checkpoint copies are not loaded. Guard against a checkpoint whose
-    # buffers were hand-edited (it would otherwise load silently wrong).
+    # Non-trainable RBF parameters are torch *buffers*. The reference
+    # loads their values unconditionally via ``load_state_dict``; here
+    # they are normally config-derived constants, so when a checkpoint's
+    # values differ (e.g. a re-fitted-but-frozen RBF) they are injected
+    # into module construction as ``rbf_initial`` instead of being
+    # silently dropped.
+    rbf_initial = None
     if not args.get("trainable_rbf", False):
-        from torchmdnet_tpu.ops.rbf import (
-            expnorm_initial_params,
-            gauss_initial_params,
-        )
-
-        lo, hi = args.get("cutoff_lower", 0.0), args["cutoff_upper"]
-        num = args["num_rbf"]
-        if args.get("rbf_type", "expnorm") == "expnorm":
-            means, betas = expnorm_initial_params(lo, hi, num)
-            expected = {"means": means, "betas": betas}
-        else:
-            offset, coeff = gauss_initial_params(lo, hi, num)
-            expected = {"offset": offset, "coeff": coeff}
-        for leaf, want in expected.items():
+        leaves = (("means", "betas")
+                  if args.get("rbf_type", "expnorm") == "expnorm"
+                  else ("offset", "coeff"))
+        vals = []
+        for leaf in leaves:
             key = f"representation_model.distance_expansion.{leaf}"
-            if key in sd and not np.allclose(
-                np.asarray(sd[key]).ravel(), np.asarray(want).ravel(),
-                rtol=1e-5, atol=1e-6,
-            ):
-                raise ValueError(
-                    f"Checkpoint buffer '{key}' differs from its "
-                    "config-derived initialization but trainable_rbf is "
-                    "False; refusing to load it silently wrong. Re-export "
-                    "the checkpoint or load with trainable_rbf=True."
-                )
+            if key in sd:
+                vals.append(tuple(float(v)
+                                  for v in np.asarray(sd[key]).ravel()))
+        if len(vals) == len(leaves):
+            rbf_initial = tuple(vals)
 
     # Priors from hparams; Atomref tables come from the checkpoint itself.
     prior_models = list(create_prior_models(args))
@@ -433,7 +434,7 @@ def load_checkpoint_as_potential(filepath, args=None, **kwargs):
     std = float(np.asarray(raw_sd.get("model.std", raw_sd.get("std", 1.0))))
 
     potential = create_model(args, prior_models=tuple(prior_models),
-                             mean=mean, std=std)
+                             mean=mean, std=std, rbf_initial=rbf_initial)
 
     # Template init on a tiny dummy system.
     n, b = 8, 1
