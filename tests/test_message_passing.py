@@ -118,3 +118,30 @@ def test_pns_chunked_matches_unchunked(monkeypatch):
         _naive(a, x, nbr.idx, nbr.mask) ** 2), argnums=1)(attr, feats9)
     np.testing.assert_allclose(np.asarray(g), np.asarray(gr),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_pns_second_order_is_scatter_free():
+    """Force training differentiates through the general op's backward;
+    since round 2 that transpose decomposes onto gather-only primitives
+    (``_pns_bwd_pair``) — no XLA scatter may appear at any order."""
+    attr, feats9, nbr = _setup(sym=False)
+    rs = nbr.rev_slot
+
+    def force_like(a, x):
+        g = jax.grad(
+            lambda a_, x_: jnp.sum(
+                packed_neighbor_sum(a_, x_, nbr.idx, rs, nbr.mask) ** 2
+            ),
+            argnums=1,
+        )(a, x)
+        return jnp.sum(g ** 2)
+
+    for order, fn in (
+        (1, jax.grad(force_like, argnums=(0, 1))),
+        (0, force_like),
+    ):
+        jaxpr = jax.make_jaxpr(fn)(attr, feats9)
+        text = str(jaxpr)
+        assert "scatter" not in text, (
+            f"scatter found in order-{order + 1} jaxpr"
+        )

@@ -229,6 +229,8 @@ def _make_representation(args: dict, rbf_initial=None):
             q_dim=args.get("q_dim", 0),
             output_charges="Coul" in args["output_model"],
             remat=bool(args.get("remat", False)),
+            pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
+            pallas_embedding=bool(args.get("pallas_embedding", False)),
             **shared,
         ), False
     if model_name == "equivariant-transformer":

@@ -252,10 +252,11 @@ class ScalarPlusWeightedCoulomb(OutputModel):
             d2 = jnp.sum(diff * diff, axis=-1)
             safe = jnp.where(d2 > 0, d2, 1.0)
             d = jnp.sqrt(safe)
-            q_ij = charges[:, None, :] * charges[None, :, :]
             fc = 1.0 - _exp_cutoff(d, 4.6)
-            e_pair = self._FACTOR * fc[..., None] * q_ij / d[..., None]
-            e_pair = jnp.sum(e_pair * qw, axis=-1) / jnp.sum(qw)
+            # Σ_c qw_c·q_i[c]·q_j[c] as one [N,C]×[N,C]ᵀ matmul — the
+            # [N,N,C] channel product never materializes.
+            qq = jnp.einsum("nc,mc->nm", charges * qw, charges)
+            e_pair = self._FACTOR * fc * qq / (d * jnp.sum(qw))
             e_i = jnp.sum(jnp.where(pair_mask, e_pair, 0.0), axis=1)
         else:
             nbr = build_neighbor_matrix(
@@ -268,22 +269,25 @@ class ScalarPlusWeightedCoulomb(OutputModel):
                 box=box,
                 atom_mask=(batch < num_mols) if num_mols is not None else None,
             )
-            _, d = neighbor_geometry(pos, nbr, box=box, batch=batch)
-            q_i = charges[:, None, :]
-            q_j = charges[nbr.idx]
-            q_ij = q_i * q_j
-            fc = 1.0 - _exp_cutoff(d, 4.6)
-            rc = float(self.coulomb_cutoff)
-            eps = self.epsilon_solvent
-            k_rf = (1.0 / rc**3) * (eps - 1.0) / (2.0 * eps + 1.0)
-            c_rf = (1.0 / rc) * (3.0 * eps) / (2.0 * eps + 1.0)
-            safe_d = jnp.where(d > 0, d, 1.0)
-            kernel = 1.0 / safe_d + k_rf * d * d - c_rf
-            e_pair = self._FACTOR * fc[..., None] * q_ij * kernel[..., None]
-            e_pair = jnp.sum(e_pair * qw, axis=-1) / jnp.sum(qw)
-            # Row format holds both edge directions, so summing rows equals
-            # the reference's two index_adds over half the edges.
-            e_i = jnp.sum(jnp.where(nbr.mask, e_pair, 0.0), axis=1)
+            # Fused pair-energy op (ops/coulomb.py): channel contraction
+            # inside the gather consumer (only [N,K] materializes) and a
+            # hand-derived gather-only force VJP — the default scatter-add
+            # transpose of the neighbor gather dominates the MD step at
+            # the 25k/10Å Coulomb config.  Row format holds both edge
+            # directions, so summing rows equals the reference's two
+            # index_adds over half the edges.
+            from torchmdnet_tpu.ops.coulomb import coulomb_cutoff_energy
+
+            # static channel-weight total (config-derived, not the traced
+            # buffer)
+            factor = self._FACTOR / float(
+                sum(float(v) for row in self.q_weights for v in row)
+            )
+            e_i = coulomb_cutoff_energy(
+                pos, charges * qw, charges, nbr.idx, nbr.mask,
+                float(self.coulomb_cutoff), float(self.epsilon_solvent),
+                factor, box, batch,
+            )
 
         return x + e_i[:, None]
 

@@ -95,6 +95,7 @@ class Interaction2(nn.Module):
     cutoff_upper: float = 4.5
     equivariance_invariance_group: str = "O(3)"
     dtype: Optional[jnp.dtype] = None
+    pallas_edge_mlp: bool = False  # fused VMEM-resident edge MLP (f32/silu)
 
     @nn.compact
     def __call__(self, X: Irreps, charges, nbr: NeighborMatrix, edge_weight,
@@ -112,10 +113,33 @@ class Interaction2(nn.Module):
                                                      charges.shape[1]))
         q_j = gather_nodes(charges, nbr.idx, rev_slot, nbr.mask)
         attr = jnp.concatenate([edge_attr, q_i, q_j], axis=-1)
-        attr = act(Linear(F, name="linears_scalar_0", dtype=self.dtype)(attr))
-        attr = act(Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)(attr))
-        attr = act(Linear(3 * F, name="linears_scalar_2", dtype=self.dtype)(attr))
-        attr = attr * (C * nbr.mask.astype(attr.dtype))[..., None]
+        use_pallas = (
+            self.pallas_edge_mlp
+            and self.activation == "silu"
+            and attr.dtype == jnp.float32
+            and self.dtype is None
+        )
+        if use_pallas:
+            # Same fused kernel as TensorNet's interaction (the first
+            # linear simply has R+2·q_dim inputs): the whole 3-layer chain
+            # stays in VMEM per edge tile; only [N,K,3F] is written.
+            from torchmdnet_tpu.models.common import LinearParams
+            from torchmdnet_tpu.ops.pallas_kernels import fused_edge_mlp
+
+            cin = attr.shape[-1]
+            w1, b1 = LinearParams(cin, F, name="linears_scalar_0")()
+            w2, b2 = LinearParams(F, 2 * F, name="linears_scalar_1")()
+            w3, b3 = LinearParams(2 * F, 3 * F, name="linears_scalar_2")()
+            cw = C * nbr.mask.astype(attr.dtype)
+            attr = fused_edge_mlp(
+                attr, cw, w1, b1, w2, b2, w3, b3,
+                jax.default_backend() != "tpu",
+            )
+        else:
+            attr = act(Linear(F, name="linears_scalar_0", dtype=self.dtype)(attr))
+            attr = act(Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)(attr))
+            attr = act(Linear(3 * F, name="linears_scalar_2", dtype=self.dtype)(attr))
+            attr = attr * (C * nbr.mask.astype(attr.dtype))[..., None]
 
         normp1 = tensor_frobenius_norm2(X) + 1.0
         X = Irreps(X.I / normp1, X.A / normp1[:, None, :], X.S / normp1[:, None, :])
@@ -169,7 +193,9 @@ class TensorNet2(nn.Module):
     cells_per_dim: Optional[tuple] = None  # static grid for "cell" under jit
     cell_capacity: int = 64
     dtype: Optional[jnp.dtype] = None
-    remat: bool = False
+    remat: bool = False  # selective remat: save neighbor sums, recompute rest
+    pallas_edge_mlp: bool = False  # fused Pallas edge MLP (f32/silu only)
+    pallas_embedding: bool = False  # fused radial-embedding kernel (f32)
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
         kwargs = {}
@@ -230,10 +256,17 @@ class TensorNet2(nn.Module):
         safe_w = jnp.where(dist > 0, dist, 1.0)
         edge_vec_norm = delta / safe_w[..., None]
 
-        EmbeddingCls = (
-            nn.remat(TensorEmbedding) if self.remat else TensorEmbedding
-        )
-        Interaction2Cls = nn.remat(Interaction2) if self.remat else Interaction2
+        # Selective remat (same policy as TensorNet): recompute the
+        # [N,K,*] edge pipeline in the backward but save the named
+        # neighbor-sum outputs — only [N,9F] each, yet a full HBM-gather
+        # pass to recompute.
+        if self.remat:
+            policy = jax.checkpoint_policies.save_only_these_names("pns_out")
+            EmbeddingCls = nn.remat(TensorEmbedding, policy=policy)
+            Interaction2Cls = nn.remat(Interaction2, policy=policy)
+        else:
+            EmbeddingCls = TensorEmbedding
+            Interaction2Cls = Interaction2
         X = EmbeddingCls(
             hidden_channels=F,
             num_rbf=self.num_rbf,
@@ -243,6 +276,7 @@ class TensorNet2(nn.Module):
             max_z=self.max_z,
             name="tensor_embedding",
             dtype=self.dtype,
+            pallas_embedding=self.pallas_embedding,
         )(z, nbr, dist, edge_vec_norm, edge_attr, rev_slot)
 
         charges = ChargePredict(
@@ -262,6 +296,7 @@ class TensorNet2(nn.Module):
                 equivariance_invariance_group=self.equivariance_invariance_group,
                 name=f"layers_{i}",
                 dtype=self.dtype,
+                pallas_edge_mlp=self.pallas_edge_mlp,
             )(X, charges, nbr, dist, edge_attr, rev_slot)
             charges = ChargePredict(
                 hidden_channels=F, activation=self.activation, q_dim=self.q_dim,

@@ -1,0 +1,101 @@
+"""Fused cutoff-Coulomb pair energy with gather-only gradients.
+
+The reference evaluates the multi-channel predicted-charge Coulomb energy
+over a cutoff neighbor list with an OpenMM-style reaction field
+(``output_modules.py:566-588``) and lets autograd scatter the force
+contributions back.  On TPU the scatter-add transpose of the neighbor
+gather is the bottleneck, so this op computes the per-atom energy
+
+    E_i = Σ_k m_ik · G(d_ik) · (a_i · b_j),   j = idx[i,k]
+
+with a hand-derived first-order VJP built from *row gathers only*:
+
+* ∂a_i = Σ_k ct_i·G·b_j                            (row gather)
+* ∂b_m = Σ_k G·(ct·a)_j                            (edge-set symmetry:
+  edges into m ↔ edges from m, and G depends on d alone)
+* ∂pos_m = Σ_k v̂·G'·[ct_m(a_m·b_j) + ct_j(a_j·b_m)]  (pair-force form;
+  the reverse-edge cotangent folds onto node arrays, so no rev_slot and
+  no scatter)
+
+``a``/``b`` are the channel-scaled charge factors (a = qw⊙q, b = q).
+Higher derivative orders fall back to XLA's default transposes (scatters)
+— exact, and acceptable at training-molecule sizes.
+
+G(d) = factor · (1 − f_exp(d)) · (1/d + k_rf·d² − c_rf), with the AIMNet2
+short-range damping f_exp (reference ``output_modules.py:323-332``) and
+reaction-field constants from (cutoff, ε_solvent).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from torchmdnet_tpu.ops.neighbors import _expand_box, wrap_deltas
+
+_DAMP_RC = 4.6
+_INV_E = 0.36787944117144233
+
+
+def _g_kernel(d, rc: float, eps: float, factor: float):
+    """G(d); requires d > 0 (mask zeros upstream)."""
+    t = jnp.clip(d / _DAMP_RC, 0.0, 1.0 - 1e-6)
+    fexp = jnp.exp(-1.0 / (1.0 - t * t)) / _INV_E
+    k_rf = (1.0 / rc**3) * (eps - 1.0) / (2.0 * eps + 1.0)
+    c_rf = (1.0 / rc) * (3.0 * eps) / (2.0 * eps + 1.0)
+    return factor * (1.0 - fexp) * (1.0 / d + k_rf * d * d - c_rf)
+
+
+def _edge_geometry(pos, idx, mask, box, batch):
+    delta = pos[:, None, :] - pos[idx]
+    if box is not None:
+        if batch is None:
+            batch = jnp.zeros((pos.shape[0],), jnp.int32)
+        per_atom_box = _expand_box(box, batch)
+        delta = wrap_deltas(delta, per_atom_box[:, None, :, :])
+    d2 = jnp.sum(delta * delta, axis=-1)
+    valid = mask & (d2 > 0)
+    safe_d = jnp.sqrt(jnp.where(valid, d2, 1.0))
+    return delta, safe_d, valid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def coulomb_cutoff_energy(pos, a, b, idx, mask, rc, eps, factor,
+                          box=None, batch=None):
+    e, _ = _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch)
+    return e
+
+
+def _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch):
+    idx = jax.lax.stop_gradient(idx)
+    delta, safe_d, valid = _edge_geometry(pos, idx, mask, box, batch)
+    g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
+    # channel contraction fused into the gather consumer: only [N,K]
+    # materializes
+    pd = jnp.einsum("nc,nkc->nk", a, b[idx])
+    return jnp.sum(g * pd, axis=1), (delta, safe_d, valid, g, pd)
+
+
+def _cce_fwd(pos, a, b, idx, mask, rc, eps, factor, box, batch):
+    e, res = _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch)
+    return e, (pos, a, b, idx, mask, box, batch) + res
+
+
+def _cce_bwd(rc, eps, factor, res, ct):
+    pos, a, b, idx, mask, box, batch, delta, safe_d, valid, g, pd = res
+    idx = jax.lax.stop_gradient(idx)
+    gm = jnp.where(valid, g, 0.0)
+    ctw = ct[:, None] * gm
+    da = jnp.einsum("nk,nkc->nc", ctw, b[idx])
+    cta = ct[:, None] * a
+    db = jnp.einsum("nk,nkc->nc", gm, cta[idx])
+    # pair-force: G'(d)·v̂ weighted by the symmetrized charge cotangent
+    gp = jax.grad(lambda d: jnp.sum(_g_kernel(d, rc, eps, factor)))(safe_d)
+    gp = jnp.where(valid, gp, 0.0)
+    pd2 = jnp.einsum("nc,nkc->nk", b, cta[idx])  # ct_j·(a_j·b_m) per edge
+    s = gp * (ct[:, None] * pd + pd2) / safe_d
+    dpos = jnp.sum(s[..., None] * delta, axis=1)
+    return dpos, da, db, None, None, None, None
+
+
+coulomb_cutoff_energy.defvjp(_cce_fwd, _cce_bwd)

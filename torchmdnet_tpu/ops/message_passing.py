@@ -282,13 +282,21 @@ def _pns_fwd(attr3f, feats9, idx, rev_slot, mask):
     )
 
 
-def _pns_bwd(res, g):
-    # The backward stays row-chunked: unlike the forward (where each
-    # F-block gather fuses into its dot reduction), here the gathered
-    # blocks feed elementwise consumers and XLA materializes them —
-    # un-chunked that is an [N·K, 9F] temp (10.3 GB at the 25k MD config,
-    # OOM; measured 2026-08-16).
-    attr3f, feats9, idx, rev_slot, mask = res
+@jax.custom_vjp
+def _pns_bwd_pair(attr3f, feats9, g, idx, rev_slot, mask):
+    """Fused (∂attr, ∂feats) of the general packed neighbor sum.
+
+    One row-chunked pass sharing the idx/rev gathers (unlike the forward,
+    the gathered blocks here feed elementwise consumers and XLA
+    materializes them — un-chunked that is an [N·K, 9F] temp, 10.3 GB at
+    the 25k MD config, OOM; measured 2026-08-16).
+
+    Wrapped in its own custom_vjp so *force training* — which
+    differentiates through this backward — stays scatter-free: the
+    second-order transpose decomposes onto :func:`packed_neighbor_sum`,
+    :func:`_pns_dattr` and :func:`gather_rev`, all of which have
+    gather-only VJPs to every order.
+    """
     n, k, c3 = attr3f.shape
     f = c3 // 3
     # bwd gathers rows from feats9, attr3f AND g — all must be resident to
@@ -330,9 +338,49 @@ def _pns_bwd(res, g):
         dfeats_c = jnp.concatenate(blocks, axis=-1)
         return dattr_c, dfeats_c
 
-    dattr, dfeats = _map_rows(
-        one, (attr3f, idx, rev_slot, mask, g), n, chunk
+    return _map_rows(one, (attr3f, idx, rev_slot, mask, g), n, chunk)
+
+
+def _pns_bwd_pair_fwd(attr3f, feats9, g, idx, rev_slot, mask):
+    return _pns_bwd_pair(attr3f, feats9, g, idx, rev_slot, mask), (
+        attr3f, feats9, g, idx, rev_slot, mask
     )
+
+
+def _pns_bwd_pair_bwd(res, cts):
+    # Transpose of the fused backward, on scatter-free primitives only.
+    # Branch 1, dattr[n,k] = fold9(g[n] ⊙ feats9[idx[n,k]]) (= _pns_dattr):
+    #   ∂g      += Σ_k expand9(ct_da)·feats9[idx]      = pns(ct_da, feats9)
+    #   ∂feats9 += pns(gather_rev(ct_da), g)           (slot involution)
+    # Branch 2, dfeats[j] = Σ_k expand9(attr3f[rev])·g[idx] :
+    #   ∂attr3f[i,s] = fold9(g[i] ⊙ ct_df[idx[i,s]])   = _pns_dattr(g, ct_df)
+    #   ∂g      += Σ_s expand9(attr3f[i,s])·ct_df[idx] = pns(attr3f, ct_df)
+    attr3f, feats9, g, idx, rev_slot, mask = res
+    ct_da, ct_df = cts
+    ct_da = jnp.where(mask[..., None], ct_da, 0.0)
+    dattr = _pns_dattr(g, ct_df, idx, rev_slot, mask)
+    dg = (
+        packed_neighbor_sum(ct_da, feats9, idx, rev_slot, mask)
+        + packed_neighbor_sum(attr3f, ct_df, idx, rev_slot, mask)
+    )
+    ct_rev = gather_rev(ct_da, idx, rev_slot, mask)
+    dfeats = packed_neighbor_sum(ct_rev, g, idx, rev_slot, mask)
+    return (
+        _cast_like(dattr, attr3f.dtype),
+        _cast_like(dfeats, feats9.dtype),
+        _cast_like(dg, g.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+_pns_bwd_pair.defvjp(_pns_bwd_pair_fwd, _pns_bwd_pair_bwd)
+
+
+def _pns_bwd(res, g):
+    attr3f, feats9, idx, rev_slot, mask = res
+    dattr, dfeats = _pns_bwd_pair(attr3f, feats9, g, idx, rev_slot, mask)
     return (
         _cast_like(dattr, attr3f.dtype),
         _cast_like(dfeats, feats9.dtype),
@@ -484,3 +532,54 @@ def _pns_sym_bwd(res, g):
 
 
 packed_neighbor_sum_sym.defvjp(_pns_sym_fwd, _pns_sym_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Symmetric weighted pair dot (Coulomb head at scale)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def symmetric_weighted_pair_dot(w, a, b, idx, mask):
+    """``out[n] = Σ_k w[n,k] · (a[n] · b[idx[n,k]])`` with a gather-only
+    first-order VJP (reference Coulomb reduction,
+    ``output_modules.py:566-588``).
+
+    Contract: the edge set is symmetric (both directions present) and
+    ``w`` is edge-symmetric (a function of the pair distance only) — then
+    the transpose w.r.t. ``b`` folds onto *row* gathers through the edge
+    involution, with no ``rev_slot`` needed:
+
+    * ``∂a[n]   = Σ_k (ct[n]·w[n,k]) b[j]``
+    * ``∂b[m]   = Σ_k w[m,k] (ct·a)[j]``   (edges into m ↔ edges from m)
+    * ``∂w[n,k] = ct[n] · (a[n]·b[j])``
+
+    Higher orders fall back to XLA's default gather transpose; training
+    molecules are small, so that is acceptable where MD is not.
+    """
+    return _swpd_impl(w, a, b, idx, mask)[0]
+
+
+def _swpd_impl(w, a, b, idx, mask):
+    wm = jnp.where(mask, w, 0.0)
+    # contraction fused into the gather consumer: only [N,K] materializes
+    pd = jnp.einsum("nc,nkc->nk", a, b[idx])
+    return jnp.sum(wm * pd, axis=1), pd
+
+
+def _swpd_fwd(w, a, b, idx, mask):
+    out, pd = _swpd_impl(w, a, b, idx, mask)
+    return out, (w, a, b, idx, mask, pd)
+
+
+def _swpd_bwd(res, ct):
+    w, a, b, idx, mask, pd = res
+    wm = jnp.where(mask, w, 0.0)
+    ctw = ct[:, None] * wm  # [N, K]
+    da = jnp.einsum("nk,nkc->nc", ctw, b[idx])
+    db = jnp.einsum("nk,nkc->nc", wm, (ct[:, None] * a)[idx])
+    dw = jnp.where(mask, ct[:, None] * pd, 0.0)
+    return dw, da, db, None, None
+
+
+symmetric_weighted_pair_dot.defvjp(_swpd_fwd, _swpd_bwd)
