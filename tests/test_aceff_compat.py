@@ -19,6 +19,8 @@ import pytest
 from torchmdnet_tpu.models.model import create_model, load_model
 from torchmdnet_tpu.utils.torch_ckpt import save_torch_checkpoint
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _unremix_linear(weight, bias):
     """Inverse of ``remix_linear``: new [3*F] block order → old [F*3]."""

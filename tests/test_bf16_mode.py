@@ -7,6 +7,9 @@ import jax.numpy as jnp
 
 from torchmdnet_tpu.models.model import create_model
 
+import pytest
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def test_bf16_close_to_f32():
     def args(prec):

@@ -24,6 +24,9 @@ from torchmdnet_tpu.utils.torch_ckpt import (  # noqa: E402
     convert_state_dict,
 )
 
+import pytest
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 CAFFEINE_PDB = "/root/reference/tests/caffeine.pdb"
 
 SYMBOL_Z = {"H": 1, "C": 6, "N": 7, "O": 8}

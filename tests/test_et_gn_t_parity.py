@@ -20,6 +20,8 @@ from torchmdnet_tpu.utils.torch_ckpt import (  # noqa: E402
     convert_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _batch(rng):
     n1, n2 = 9, 6

@@ -10,6 +10,9 @@ from torchmdnet_tpu.models.model import create_model
 from torchmdnet_tpu.optimize import optimize
 from torchmdnet_tpu.utils.export import export_potential, load_exported
 
+import pytest
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _potential():
     return create_model(dict(

@@ -24,6 +24,9 @@ from torchmdnet_tpu.utils.torch_ckpt import (  # noqa: E402
     convert_state_dict,
 )
 
+import pytest
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def test_training_gradients_match_torch():
     args = make_reference_args(

@@ -22,6 +22,8 @@ from torchmdnet_tpu.utils.torch_ckpt import (  # noqa: E402
     convert_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _make_batch(rng, sizes):
     zs, ps, bs = [], [], []

@@ -17,6 +17,8 @@ from torchmdnet_tpu.md.integrators import (
 from torchmdnet_tpu.models.model import create_model
 from torchmdnet_tpu.utils.periodic_table import ATOMIC_MASSES
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _potential(**kw):
     args = dict(
@@ -185,3 +187,45 @@ def test_external_calculator_matches_direct_apply():
                     output_transform="eV/A -> kcal/mol/A")
     e3, f3 = ext3.calculate(pos)
     np.testing.assert_allclose(e3, e * 23.0609, rtol=1e-6)
+
+
+def test_md_cached_coulomb_list_matches_standalone():
+    """TensorNet2+Coulomb MD: the skin-cached Coulomb neighbor list carried
+    in MDState must give the same energy as the head's standalone per-call
+    build (the op re-masks beyond-cutoff edges, so the skin is invisible)."""
+    n = 12
+    rng = np.random.RandomState(3)
+    z = rng.randint(1, 9, n).astype(np.int32)
+    pos = rng.uniform(0, 6, (n, 3)).astype(np.float32)
+    masses = ATOMIC_MASSES[z].astype(np.float32)
+    pot = _potential(
+        model="tensornet2", q_dim=4,
+        output_model="ScalarPlusWeightedCoulomb",
+        q_weights=[[1.0] * 4] * 2,
+        coulomb_cutoff=4.0, coulomb_max_num_neighbors=n,
+    )
+    batch = jnp.zeros(n, jnp.int32)
+    q = jnp.zeros((1,), jnp.float32)
+    variables = pot.init(
+        jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(pos), batch,
+        num_mols=1, q=q,
+    )
+    init_state, chunk, energy_fn = make_md_step(
+        pot, variables, jnp.asarray(z), batch, masses, dt=0.5, num_mols=1,
+        q=q, rebuild_every=3, skin=1.0,
+    )
+    state = init_state(pos)
+    assert state.cnbr_idx is not None  # Coulomb list is carried
+    assert not bool(state.overflow)
+    # energy through the cached (skin-padded) list
+    e_cached = float(energy_fn(state.pos, state.nbr_idx, state.nbr_mask,
+                               state.nbr_rev, state.cnbr_idx,
+                               state.cnbr_mask))
+    # energy through the head's own standalone build
+    y, _ = pot.apply(variables, jnp.asarray(z), state.pos, batch,
+                     num_mols=1, q=q)
+    np.testing.assert_allclose(e_cached, float(jnp.sum(y)), rtol=1e-5,
+                               atol=1e-5)
+    # and a few steps run without NaNs
+    state = chunk(state)
+    assert np.isfinite(np.asarray(state.pos)).all()

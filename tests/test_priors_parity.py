@@ -26,6 +26,8 @@ from torchmdnet_tpu.utils.torch_ckpt import (  # noqa: E402
     convert_state_dict,
 )
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 EV_SCALES = dict(distance_scale=1e-10, energy_scale=1.602176634e-19)
 
 

@@ -9,6 +9,8 @@ import pytest
 
 from torchmdnet_tpu.models.model import create_model
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _args(remat):
     return dict(

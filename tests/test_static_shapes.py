@@ -10,6 +10,8 @@ import jax.numpy as jnp
 
 from torchmdnet_tpu.models.model import create_model
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _args(**kw):
     a = dict(

@@ -17,6 +17,8 @@ from torchmdnet_tpu.ops.cheb import (
     cheb_nodes,
 )
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def test_cheb_fit_roundtrip_polynomial():
     # A degree-5 polynomial is represented exactly with T >= 6 terms.

@@ -8,6 +8,9 @@ import h5py
 import numpy as np
 import yaml
 
+import pytest
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _write_h5(path, nsamples=12, natoms=6):
     rng = np.random.RandomState(0)

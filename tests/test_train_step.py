@@ -15,6 +15,8 @@ from torchmdnet_tpu.parallel.dp import (
 )
 from torchmdnet_tpu.train.step import create_train_state, make_train_step
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _args(**kw):
     base = dict(

@@ -12,6 +12,8 @@ from torchmdnet_tpu.models.model import create_model, load_model
 from torchmdnet_tpu.train.trainer import Trainer
 from utils_dummy import DummyDataset
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _hparams(tmp_path, **kw):
     hp = dict(

@@ -10,6 +10,8 @@ from torchmdnet_tpu.models.model import create_model
 from torchmdnet_tpu.train.trainer import Trainer
 from utils_dummy import DummyDataset
 
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def test_dp_trainer_fit(tmp_path):
     if len(jax.devices()) < 4:

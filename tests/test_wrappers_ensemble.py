@@ -12,6 +12,9 @@ import jax.numpy as jnp
 from torchmdnet_tpu.models.model import Ensemble, create_model, load_model
 from torchmdnet_tpu.utils.torch_ckpt import save_torch_checkpoint
 
+import pytest
+pytestmark = pytest.mark.slow  # minutes-scale; excluded from the fast suite
+
 
 def _args(**kw):
     a = dict(

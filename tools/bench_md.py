@@ -1,11 +1,19 @@
-"""North-star MD benchmark (BASELINE.md config #5 scale): periodic random
-gas at liquid density, full on-device MD loop (cell rebuild every
-``MD_REBUILD`` steps + Langevin), one real TPU chip.
+"""North-star MD benchmark (BASELINE.md config #5): periodic system at
+liquid density, full on-device MD loop (cell rebuilds + Langevin), one real
+TPU chip.
 
-Env knobs: MD_N (atoms, default 25088), MD_K (neighbor slots, 96; the
-random gas needs 128 at cutoff 4.5 + skin 1.0 to stay overflow-free),
-MD_TAB (Chebyshev terms, 128), MD_REBUILD (25), MD_REMAT (1),
-MD_EMB (fused radial-embedding kernel, 0).
+Since round 2 the default model is the north-star configuration itself:
+**TensorNet2 + ScalarPlusWeightedCoulomb(coulomb_cutoff=10 Å)** — the
+AceFF-2.0 PBC recipe (reference ``examples/aceff_examples/ase_aceff_PBC.py``
+uses coulomb_cutoff=10.0).  ``MD_MODEL=tensornet`` reproduces the round-1
+metric.
+
+Env knobs: MD_N (atoms, default 25088), MD_K (neighbor slots, 96),
+MD_TAB (Chebyshev terms for tensornet, 128), MD_REBUILD (25), MD_REMAT (1),
+MD_EMB (fused radial-embedding kernel, 0), MD_MODEL (tensornet2),
+MD_PALLAS (fused edge MLP for tensornet2, 1), MD_QDIM (16),
+MD_COULOMB_RC (10.0; 0 disables the Coulomb head → plain Scalar),
+MD_SYS (gas|lattice), MD_PREC (32).
 Numbers recorded in docs/PERF.md.
 """
 import os, sys, time
@@ -23,6 +31,9 @@ N = int(os.environ.get("MD_N", 25088))
 TAB = int(os.environ.get("MD_TAB", 128))
 K = int(os.environ.get("MD_K", 96))
 REBUILD = int(os.environ.get("MD_REBUILD", 25))
+MODEL = os.environ.get("MD_MODEL", "tensornet2")
+QDIM = int(os.environ.get("MD_QDIM", 16))
+COULOMB_RC = float(os.environ.get("MD_COULOMB_RC", 10.0))
 rng = np.random.RandomState(0)
 L = (N / 0.1) ** (1.0 / 3.0)
 if os.environ.get("MD_SYS", "gas") == "lattice":
@@ -41,26 +52,45 @@ masses = np.where(z == 1, 1.008, 12.011).astype(np.float64)
 box = np.diag([L, L, L]).astype(np.float32)
 
 args = dict(
-    model="tensornet", embedding_dimension=128, num_layers=2, num_rbf=32,
+    model=MODEL, embedding_dimension=128, num_layers=2, num_rbf=32,
     rbf_type="expnorm", trainable_rbf=False, activation="silu",
     cutoff_lower=0.0, cutoff_upper=4.5, max_z=128, max_num_neighbors=K,
     derivative=True, prior_model=None, output_model="Scalar",
-    reduce_op="sum", precision=int(os.environ.get("MD_PREC", 32)), equivariance_invariance_group="O(3)",
+    reduce_op="sum", precision=int(os.environ.get("MD_PREC", 32)),
+    equivariance_invariance_group="O(3)",
     atom_filter=-1, remat=os.environ.get("MD_REMAT", "1") == "1",
-    tabulated_edge_mlp=TAB,
     pallas_embedding=os.environ.get("MD_EMB", "0") == "1",
 )
+if MODEL == "tensornet":
+    args.update(tabulated_edge_mlp=TAB)
+else:
+    args.update(
+        q_dim=QDIM,
+        pallas_edge_mlp=os.environ.get("MD_PALLAS", "1") == "1",
+    )
+    _cdims = max(int(np.floor(L / max(COULOMB_RC, 1.0))), 3)
+    if COULOMB_RC > 0:
+        args.update(
+            output_model="ScalarPlusWeightedCoulomb",
+            q_weights=[[1.0] * QDIM] * (args["num_layers"] + 1),
+            coulomb_cutoff=COULOMB_RC,
+            coulomb_neighbor_strategy="cell",
+            coulomb_cells_per_dim=[_cdims] * 3,
+            coulomb_cell_capacity=int(N / _cdims**3 * 2.5) + 8,
+        )
 pot = create_model(args)
 zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
 batch = jnp.zeros((N,), jnp.int32)
+q = jnp.zeros((1,), jnp.float32) if MODEL == "tensornet2" else None
 t0 = time.time()
-variables = jax.jit(lambda k, z_, p_, b_: pot.init(k, z_, p_, b_, num_mols=1, box=bj))(
-    jax.random.PRNGKey(0), zj, pj, batch)
+variables = jax.jit(
+    lambda k, z_, p_, b_: pot.init(k, z_, p_, b_, num_mols=1, box=bj, q=q)
+)(jax.random.PRNGKey(0), zj, pj, batch)
 jax.block_until_ready(variables)
 print(f"init compile {time.time()-t0:.0f}s", flush=True)
 
 init_state, chunk, energy_fn = make_md_step(
-    pot, variables, zj, batch, masses, dt=0.5, num_mols=1, box=bj,
+    pot, variables, zj, batch, masses, dt=0.5, num_mols=1, box=bj, q=q,
     rebuild_every=REBUILD, skin=1.0, temperature=300.0,
     neighbor_strategy="cell")
 t0 = time.time()
@@ -77,5 +107,7 @@ for _ in range(n_chunks):
     state = chunk(state)
 jax.block_until_ready(state.pos)
 dt = (time.time() - t0) / (n_chunks * REBUILD) * 1000
-print(f"N={N} K={K} tab={TAB}: {dt:.1f} ms/MD-step "
-      f"({1000.0/dt:.2f} steps/s), overflow={bool(state.overflow)}", flush=True)
+print(f"model={MODEL} N={N} K={K} coulomb_rc="
+      f"{COULOMB_RC if MODEL != 'tensornet' else '-'}: "
+      f"{dt:.1f} ms/MD-step ({1000.0/dt:.2f} steps/s), "
+      f"overflow={bool(state.overflow)}", flush=True)

@@ -38,6 +38,10 @@ class MDState(NamedTuple):
     key: jnp.ndarray
     step: jnp.ndarray
     overflow: jnp.ndarray
+    # skin-cached Coulomb-head neighbor list ([N, 0] when the potential has
+    # no cutoff-Coulomb output module)
+    cnbr_idx: jnp.ndarray = None
+    cnbr_mask: jnp.ndarray = None
 
 
 def maxwell_boltzmann_velocities(key, masses, temperature, shape_like):
@@ -119,7 +123,52 @@ def make_md_step(
             pos, batch, atom_mask=atom_mask, **nbr_kwargs
         )
 
-    def energy(pos, nbr_idx, nbr_mask, nbr_rev):
+    # Cutoff-Coulomb output module (TensorNet2/AceFF): carry a second
+    # skin-cached neighbor list at coulomb_cutoff + skin so the head never
+    # rebuilds inside the step (the energy op re-masks edges beyond the
+    # cutoff, so cached lists are exact — the RF kernel vanishes at rc).
+    out_mod = potential.module.output_model
+    coulomb_rc = getattr(out_mod, "coulomb_cutoff", None)
+    has_coulomb_list = coulomb_rc is not None
+
+    if has_coulomb_list:
+        rc_skin = float(coulomb_rc) + skin
+        ckwargs = dict(
+            strategy=neighbor_strategy,
+            # density-derived budget is the per-row *mean*; a +35% Poisson
+            # headroom keeps random liquid-density systems overflow-free
+            k_max=int(out_mod._coulomb_max_neighbors() * (rc_skin / float(
+                coulomb_rc)) ** 3 * 1.35) + 16,
+            cutoff_upper=rc_skin,
+            cutoff_lower=0.0,
+            loop=False,
+            box=box,
+        )
+        if neighbor_strategy == "cell":
+            import numpy as np
+
+            b = np.asarray(jax.device_get(jnp.asarray(box)))
+            if b.ndim == 3:
+                b = b[0]
+            dims = np.maximum(
+                np.floor(np.diag(b).astype(np.float64) / rc_skin).astype(
+                    np.int64), 3
+            )
+            ckwargs["cells_per_dim"] = tuple(int(d) for d in dims)
+            n_real = int(jax.device_get(jnp.sum(atom_mask)))
+            occ = n_real / float(np.prod(ckwargs["cells_per_dim"]))
+            ckwargs["cell_capacity"] = int(occ * 2.5) + 8
+
+        def build_cnbr(pos):
+            return build_neighbor_matrix(
+                pos, batch, atom_mask=atom_mask, **ckwargs
+            )
+    else:
+        def build_cnbr(pos):
+            return None
+
+    def energy(pos, nbr_idx, nbr_mask, nbr_rev, cnbr_idx=None,
+               cnbr_mask=None):
         nbr = NeighborMatrix(
             nbr_idx,
             nbr_mask,
@@ -127,9 +176,18 @@ def make_md_step(
             jnp.array(False),
             nbr_rev,
         )
+        coulomb_nbr = None
+        if cnbr_idx is not None:
+            coulomb_nbr = NeighborMatrix(
+                cnbr_idx,
+                cnbr_mask,
+                jnp.sum(cnbr_mask, axis=1).astype(jnp.int32),
+                jnp.array(False),
+                None,
+            )
         y = potential.energy(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
-            nbr=nbr,
+            nbr=nbr, coulomb_nbr=coulomb_nbr,
         )
         return jnp.sum(y)
 
@@ -143,7 +201,9 @@ def make_md_step(
         # skin-padded old and new index sets give identical forces).
         vel_half = state.vel + 0.5 * dt * state.force * inv_m * ACC_FACTOR
         pos_new = state.pos + dt * vel_half
-        f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask, state.nbr_rev)
+        f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask, state.nbr_rev,
+                      state.cnbr_idx if has_coulomb_list else None,
+                      state.cnbr_mask if has_coulomb_list else None)
         vel_new = vel_half + 0.5 * dt * f2 * inv_m * ACC_FACTOR
         if temperature is not None:
             key, sub = jax.random.split(state.key)
@@ -159,6 +219,7 @@ def make_md_step(
         return MDState(
             pos_new, vel_new, f2, state.nbr_idx, state.nbr_mask,
             state.nbr_rev, key, state.step + 1, state.overflow,
+            state.cnbr_idx, state.cnbr_mask,
         )
 
     # Rebuild and integration run as SEPARATE dispatches: one fused jit
@@ -169,12 +230,20 @@ def make_md_step(
     @jax.jit
     def _rebuild(state: MDState) -> MDState:
         nbr = build_nbr(state.pos)
-        return state._replace(
+        state = state._replace(
             nbr_idx=nbr.idx,
             nbr_mask=nbr.mask,
             nbr_rev=nbr.rev_slot,
             overflow=state.overflow | nbr.overflow,
         )
+        if has_coulomb_list:
+            cnbr = build_cnbr(state.pos)
+            state = state._replace(
+                cnbr_idx=cnbr.idx,
+                cnbr_mask=cnbr.mask,
+                overflow=state.overflow | cnbr.overflow,
+            )
+        return state
 
     @jax.jit
     def _steps(state: MDState) -> MDState:
@@ -186,12 +255,13 @@ def make_md_step(
         return _steps(_rebuild(state))
 
     _init_force = jax.jit(
-        lambda p, i, m, r: -grad_fn(p, i, m, r)
+        lambda p, i, m, r, ci, cm: -grad_fn(p, i, m, r, ci, cm)
     )
 
     def init_state(pos, vel=None, seed=0):
         pos = jnp.asarray(pos)
         nbr = build_nbr(pos)
+        cnbr = build_cnbr(pos) if has_coulomb_list else None
         key = jax.random.PRNGKey(seed)
         if vel is None:
             if temperature is not None:
@@ -201,10 +271,15 @@ def make_md_step(
                 )
             else:
                 vel = jnp.zeros_like(pos)
-        f0 = _init_force(pos, nbr.idx, nbr.mask, nbr.rev_slot)
+        ci = cnbr.idx if cnbr is not None else None
+        cm = cnbr.mask if cnbr is not None else None
+        f0 = _init_force(pos, nbr.idx, nbr.mask, nbr.rev_slot, ci, cm)
+        overflow = nbr.overflow
+        if cnbr is not None:
+            overflow = overflow | cnbr.overflow
         return MDState(
             pos, jnp.asarray(vel), f0, nbr.idx, nbr.mask, nbr.rev_slot, key,
-            jnp.zeros((), jnp.int32), nbr.overflow,
+            jnp.zeros((), jnp.int32), overflow, ci, cm,
         )
 
     return init_state, chunk, jax.jit(energy)

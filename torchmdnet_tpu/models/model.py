@@ -53,6 +53,7 @@ class TorchMDNet(nn.Module):
         s=None,
         extra_args: Optional[Dict[str, Any]] = None,
         nbr=None,
+        coulomb_nbr=None,
     ):
         atom_mask = batch < num_mols
         x, v = self.representation_model(
@@ -73,8 +74,13 @@ class TorchMDNet(nn.Module):
             x = x * keep
             if v is not None:
                 v = v * keep[:, :, None]
+        pre_kwargs = {}
+        if coulomb_nbr is not None:
+            # MD passes a skin-cached Coulomb neighbor list (only the
+            # Coulomb head consumes it)
+            pre_kwargs["nbr"] = coulomb_nbr
         x = self.output_model.pre_reduce(
-            x, v, z, pos, batch, box=box, num_mols=num_mols
+            x, v, z, pos, batch, box=box, num_mols=num_mols, **pre_kwargs
         )
         x = x * jnp.asarray(self.std, x.dtype)
         for prior in self.prior_models:
@@ -108,25 +114,25 @@ class Potential:
         )
 
     def energy(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
-               s=None, extra_args=None, nbr=None):
+               s=None, extra_args=None, nbr=None, coulomb_nbr=None):
         return self.module.apply(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q, s=s,
-            extra_args=extra_args, nbr=nbr,
+            extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
         )
 
     def apply(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
-              s=None, extra_args=None, nbr=None):
+              s=None, extra_args=None, nbr=None, coulomb_nbr=None):
         if not self.derivative:
             y = self.energy(
                 variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
-                s=s, extra_args=extra_args, nbr=nbr,
+                s=s, extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
             )
             return y, None
 
         def etot(p):
             y = self.energy(
                 variables, z, p, batch, num_mols=num_mols, box=box, q=q, s=s,
-                extra_args=extra_args, nbr=nbr,
+                extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
             )
             return jnp.sum(y), y
 
@@ -312,6 +318,13 @@ def create_model(args: dict, prior_models=None, mean=None, std=None,
             coulomb_cutoff=args.get("coulomb_cutoff", None),
             coulomb_max_num_neighbors=args.get("coulomb_max_num_neighbors", None),
             coulomb_neighbor_strategy=args.get("coulomb_neighbor_strategy", "brute"),
+            coulomb_cells_per_dim=(
+                tuple(int(c) for c in args["coulomb_cells_per_dim"])
+                if args.get("coulomb_cells_per_dim") else None
+            ),
+            coulomb_cell_capacity=int(
+                args.get("coulomb_cell_capacity", 64) or 64
+            ),
         )
     else:
         # reference quirk (issue #343): Scalar's MLP depth comes from the

@@ -205,6 +205,10 @@ class ScalarPlusWeightedCoulomb(OutputModel):
     coulomb_cutoff: Optional[float] = None
     coulomb_max_num_neighbors: Optional[int] = None
     coulomb_neighbor_strategy: str = "brute"
+    # static cell grid for strategy="cell" under jit (box is a tracer
+    # there, so the dims cannot be derived in-trace)
+    coulomb_cells_per_dim: Optional[tuple] = None
+    coulomb_cell_capacity: int = 64
     epsilon_solvent: float = 78.3
 
     # 0.5 · Hartree · Bohr (eV·Å Coulomb constant / 2), reference :397-401
@@ -232,7 +236,8 @@ class ScalarPlusWeightedCoulomb(OutputModel):
         volume = 4.0 / 3.0 * math.pi * self.coulomb_cutoff**3
         return int(density * volume)
 
-    def pre_reduce(self, x, v, z, pos, batch, box=None, num_mols=None):
+    def pre_reduce(self, x, v, z, pos, batch, box=None, num_mols=None,
+                   nbr=None):
         charges = x[:, self.hidden_channels:]
         x = x[:, : self.hidden_channels]
         x = self.output_network(x)
@@ -259,16 +264,27 @@ class ScalarPlusWeightedCoulomb(OutputModel):
             e_pair = self._FACTOR * fc * qq / (d * jnp.sum(qw))
             e_i = jnp.sum(jnp.where(pair_mask, e_pair, 0.0), axis=1)
         else:
-            nbr = build_neighbor_matrix(
-                pos,
-                batch,
-                strategy=self.coulomb_neighbor_strategy,
-                k_max=self._coulomb_max_neighbors(),
-                cutoff_upper=float(self.coulomb_cutoff),
-                loop=False,
-                box=box,
-                atom_mask=(batch < num_mols) if num_mols is not None else None,
-            )
+            if nbr is None:
+                # standalone build; MD passes a skin-cached list instead
+                # (the energy op re-masks edges beyond the cutoff)
+                cell_kwargs = {}
+                if self.coulomb_neighbor_strategy == "cell":
+                    cell_kwargs = dict(
+                        cells_per_dim=self.coulomb_cells_per_dim,
+                        cell_capacity=self.coulomb_cell_capacity,
+                    )
+                nbr = build_neighbor_matrix(
+                    pos,
+                    batch,
+                    strategy=self.coulomb_neighbor_strategy,
+                    k_max=self._coulomb_max_neighbors(),
+                    cutoff_upper=float(self.coulomb_cutoff),
+                    loop=False,
+                    box=box,
+                    atom_mask=(batch < num_mols) if num_mols is not None
+                    else None,
+                    **cell_kwargs,
+                )
             # Fused pair-energy op (ops/coulomb.py): channel contraction
             # inside the gather consumer (only [N,K] materializes) and a
             # hand-derived gather-only force VJP — the default scatter-add

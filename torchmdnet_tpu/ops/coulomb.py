@@ -69,6 +69,10 @@ def coulomb_cutoff_energy(pos, a, b, idx, mask, rc, eps, factor,
 def _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch):
     idx = jax.lax.stop_gradient(idx)
     delta, safe_d, valid = _edge_geometry(pos, idx, mask, box, batch)
+    # Edges beyond rc contribute exactly zero — the reaction-field kernel
+    # vanishes at rc but grows again beyond it, so a skin-cached neighbor
+    # list (MD) must be re-masked here every step.
+    valid = valid & (safe_d < rc)
     g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
     # channel contraction fused into the gather consumer: only [N,K]
     # materializes

@@ -165,6 +165,11 @@ def get_argparse():
     parser.add_argument('--coulomb-cutoff', type=number, default=None)
     parser.add_argument('--coulomb-max-num-neighbors', type=int, default=None)
     parser.add_argument('--coulomb-neighbor-strategy', type=str, default='brute')
+    parser.add_argument('--coulomb-cells-per-dim', type=int, nargs=3,
+                        default=None,
+                        help='static cell grid for the Coulomb-head cell '
+                             'strategy under jit')
+    parser.add_argument('--coulomb-cell-capacity', type=int, default=64)
     # TPU performance knobs (this framework's extensions; all default to
     # the reference-equivalent exact paths)
     parser.add_argument('--remat', type=bool, default=False, help='Selective rematerialization of layers in the backward (large N)')
