@@ -2,25 +2,101 @@
 
 The reference swaps TorchMD_GN's CFConv for hand-written NNPOps CUDA
 kernels (``optimize.py:11-93``, GN-only, many feature guards).  On TPU the
-equivalent role — fusing the message-passing inner loop — is played by XLA
-fusion plus the scatter-free gather ops (``ops/message_passing.py``), so
-``optimize`` returns a jit-compiled fixed-shape step rather than swapping
-modules.  The same feature guards apply conceptually: the step is
-specialized to one (atom count, neighbor capacity) signature.
+fusion role is played by XLA + the scatter-free gather ops
+(``ops/message_passing.py``), so ``optimize`` instead packages the
+*runtime* optimizations that repeated fixed-topology inference wants:
+
+* one jitted ``pos -> (E, F)`` executable specialized to the system's
+  static shapes (the CUDA-graph-capture equivalent, ``calculators.py:150``),
+* optional **skin-cached neighbor lists** rebuilt every ``rebuild_every``
+  calls instead of per call — the dominant cost of naive repeated
+  inference at MD scale (both the representation list and, for
+  cutoff-Coulomb output modules, the Coulomb list),
+* device-resident carry: positions in, energy/forces out; index state
+  never leaves the chip.
+
+Unlike the reference's NNPOps path this works for every architecture, not
+just GN.
 """
 
-def optimize(potential, variables, z, batch, *, num_mols, box=None, q=None):
-    """Return a jitted ``pos -> (E, F)`` step specialized to this system."""
+from typing import Optional
+
+
+def optimize(potential, variables, z, batch, *, num_mols, box=None, q=None,
+             rebuild_every: int = 1, skin: float = 0.0,
+             k_max: Optional[int] = None):
+    """Return a fast ``step(pos) -> (E, F)`` specialized to this system.
+
+    With ``rebuild_every == 1`` (default) every call builds fresh neighbor
+    lists inside the jitted step — always exact.  With ``rebuild_every > 1``
+    lists are built with ``cutoff + skin`` and reused for that many calls;
+    edges beyond the true cutoff contribute exactly zero (cosine window /
+    reaction-field re-mask), so results are exact as long as no atom moves
+    further than ``skin/2`` between rebuilds.  Check ``step.overflow()``
+    after use.
+    """
     import jax
     import jax.numpy as jnp
 
     z = jnp.asarray(z)
     batch = jnp.asarray(batch)
 
+    if rebuild_every <= 1:
+        @jax.jit
+        def simple_step(pos):
+            return potential.apply(
+                variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
+            )
+
+        simple_step.overflow = lambda: False
+        return simple_step
+
+    from torchmdnet_tpu.md.integrators import make_md_step
+
+    # Reuse the MD machinery's list management (skin-padded main +
+    # Coulomb lists, overflow carried) without the integrator: a
+    # zero-velocity state whose position we overwrite each call.
+    init_state, _chunk, _energy = make_md_step(
+        potential, variables, z, batch,
+        masses=jnp.ones((z.shape[0],)), dt=0.0, num_mols=num_mols, box=box,
+        q=q, rebuild_every=rebuild_every, skin=skin, k_max=k_max,
+    )
+
+    from torchmdnet_tpu.ops.neighbors import NeighborMatrix
+
     @jax.jit
-    def step(pos):
+    def _apply(pos, nbr_idx, nbr_mask, nbr_rev, cnbr_idx, cnbr_mask):
+        nbr = NeighborMatrix(
+            nbr_idx, nbr_mask,
+            jnp.sum(nbr_mask, axis=1).astype(jnp.int32),
+            jnp.array(False), nbr_rev,
+        )
+        coulomb_nbr = None
+        if cnbr_idx is not None:
+            coulomb_nbr = NeighborMatrix(
+                cnbr_idx, cnbr_mask,
+                jnp.sum(cnbr_mask, axis=1).astype(jnp.int32),
+                jnp.array(False), None,
+            )
         return potential.apply(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
+            nbr=nbr, coulomb_nbr=coulomb_nbr,
         )
 
+    state_box = {"state": None, "calls": 0}
+
+    def step(pos):
+        pos = jnp.asarray(pos)
+        if state_box["state"] is None or state_box["calls"] % rebuild_every == 0:
+            state_box["state"] = init_state(pos)
+        state_box["calls"] += 1
+        s = state_box["state"]._replace(pos=pos)
+        state_box["state"] = s
+        return _apply(pos, s.nbr_idx, s.nbr_mask, s.nbr_rev,
+                      s.cnbr_idx, s.cnbr_mask)
+
+    step.overflow = lambda: (
+        state_box["state"] is not None
+        and bool(state_box["state"].overflow)
+    )
     return step
