@@ -103,11 +103,29 @@ jax.block_until_ready(state.pos)
 print(f"first chunk (compile) {time.time()-t0:.0f}s", flush=True)
 t0 = time.time()
 n_chunks = 4
-for _ in range(n_chunks):
+if os.environ.get("MD_PROFILE"):
+    with jax.profiler.trace(os.environ.get("MD_PROFILE_DIR",
+                                           "/tmp/md_trace")):
+        state = chunk(state)
+        jax.block_until_ready(state.pos)
+    n_chunks = 1
+    t0 = time.time()
     state = chunk(state)
+else:
+    for _ in range(n_chunks):
+        state = chunk(state)
 jax.block_until_ready(state.pos)
 dt = (time.time() - t0) / (n_chunks * REBUILD) * 1000
 print(f"model={MODEL} N={N} K={K} coulomb_rc="
       f"{COULOMB_RC if MODEL != 'tensornet' else '-'}: "
       f"{dt:.1f} ms/MD-step ({1000.0/dt:.2f} steps/s), "
       f"overflow={bool(state.overflow)}", flush=True)
+if bool(state.overflow):
+    # identify which list overflowed (mask rows at capacity)
+    mrow = np.asarray(jnp.sum(state.nbr_mask, axis=1))
+    print(f"  main list: max row {mrow.max()}/{state.nbr_idx.shape[1]}",
+          flush=True)
+    if state.cnbr_idx is not None:
+        crow = np.asarray(jnp.sum(state.cnbr_mask, axis=1))
+        print(f"  coulomb list: max row {crow.max()}/"
+              f"{state.cnbr_idx.shape[1]}", flush=True)
