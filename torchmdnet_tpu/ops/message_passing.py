@@ -168,6 +168,23 @@ _CHUNK_BUDGET_BYTES = int(
 # row-chunking is active, temp otherwise.
 _DATTR_MODE = _os.environ.get("TMDNET_DATTR", "auto")
 
+# Gather-storage tier (TMDNET_MP_STORAGE=bf16): the MP row gathers run at
+# ~330 GB/s and dominate the 25k MD step; storing the *gathered operands*
+# (node features and backward cotangents) in bf16 halves that traffic while
+# every reduction still accumulates in f32 (the einsum output dtype).  Edge
+# weights (attr3f) stay f32 — they are read contiguously at full bandwidth,
+# so rounding them buys little and costs accuracy.  Expected error ~1e-3
+# relative on forces (vs ~2e-2 for the full-bf16 `precision: 16` tier);
+# validated by tests/test_mp_storage.py.
+def _gather_cast(x):
+    """Cast a gather *source* to the storage-tier dtype (f32 inputs only —
+    f64 gradcheck paths and explicit bf16 models pass through).  Read at
+    trace time so tests/benches can toggle the tier per jit compilation."""
+    if (_os.environ.get("TMDNET_MP_STORAGE", "f32") == "bf16"
+            and x.dtype == jnp.float32):
+        return x.astype(jnp.bfloat16)
+    return x
+
 
 def _row_chunks(n, k, c9, budget_bytes=None, src_bytes=None):
     """Rows per chunk so the transient [C, K, 9F] block stays in budget.
@@ -254,22 +271,28 @@ def _pns_impl(attr3f, feats9, idx, rev_slot, mask):
     # per-layer [N,K,3F] residents alive under remat → OOM at 25k).
     # ``attr3f`` already carries the cutoff/pad mask; padding slots gather
     # the row itself (finite), weight 0.
+    feats9_g = _gather_cast(feats9)
+    acc_t = attr3f.dtype
+
     def one(args):
         attr_c, idx_c = args
-        xj = feats9[idx_c]
+        xj = feats9_g[idx_c]
         w0 = attr_c[..., :f]
         w1 = attr_c[..., f:2 * f]
         w2 = attr_c[..., 2 * f:]
-        blocks = [jnp.einsum("nkf,nkf->nf", w0, xj[..., :f])]
+        blocks = [jnp.einsum("nkf,nkf->nf", w0, xj[..., :f],
+                             preferred_element_type=acc_t)]
         for d in range(3):
             blocks.append(
                 jnp.einsum("nkf,nkf->nf", w1,
-                           xj[..., (1 + d) * f:(2 + d) * f])
+                           xj[..., (1 + d) * f:(2 + d) * f],
+                           preferred_element_type=acc_t)
             )
         for c in range(5):
             blocks.append(
                 jnp.einsum("nkf,nkf->nf", w2,
-                           xj[..., (4 + c) * f:(5 + c) * f])
+                           xj[..., (4 + c) * f:(5 + c) * f],
+                           preferred_element_type=acc_t)
             )
         return jnp.concatenate(blocks, axis=-1)
 
@@ -306,10 +329,15 @@ def _pns_bwd_pair(attr3f, feats9, g, idx, rev_slot, mask):
               g.size * g.dtype.itemsize)
     chunk = _row_chunks(n, k, 3 * c3, src_bytes=src)
 
+    feats9_g = _gather_cast(feats9)
+    attr3f_g = _gather_cast(attr3f)  # element-granular w_rev fetch
+    g_g = _gather_cast(g)
+    acc_t = attr3f.dtype
+
     def one(args):
         attr_c, idx_c, rev_c, mask_c, g_c = args
         # ∂attr: g[n] ⊙ feats[idx[n,k]], folded back over the irrep blocks
-        xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)
+        xj = jnp.where(mask_c[..., None], feats9_g[idx_c], 0.0)
         gb = [g_c[:, None, b * f:(b + 1) * f] for b in range(9)]
         d0 = gb[0] * xj[..., :f]
         d1 = sum(gb[1 + d] * xj[..., (1 + d) * f:(2 + d) * f]
@@ -318,22 +346,25 @@ def _pns_bwd_pair(attr3f, feats9, g, idx, rev_slot, mask):
                  for c in range(5))
         dattr_c = jnp.concatenate([d0, d1, d2], axis=-1)
         # ∂feats[j] = Σ_k' w9[i, s] ⊙ g[i],  (i, s) = reverse of (j, k')
-        w_rev = attr3f[idx_c, rev_c]  # [C, K, 3F]
-        g_rev = g[idx_c]  # [C, K, 9F]
+        w_rev = attr3f_g[idx_c, rev_c]  # [C, K, 3F]
+        g_rev = g_g[idx_c]  # [C, K, 9F]
         mask_e = mask_c[..., None]
         w0 = jnp.where(mask_e, w_rev[..., :f], 0.0)
         w1 = jnp.where(mask_e, w_rev[..., f:2 * f], 0.0)
         w2 = jnp.where(mask_e, w_rev[..., 2 * f:], 0.0)
-        blocks = [jnp.einsum("nkf,nkf->nf", w0, g_rev[..., :f])]
+        blocks = [jnp.einsum("nkf,nkf->nf", w0, g_rev[..., :f],
+                             preferred_element_type=acc_t)]
         for d in range(3):
             blocks.append(
                 jnp.einsum("nkf,nkf->nf", w1,
-                           g_rev[..., (1 + d) * f:(2 + d) * f])
+                           g_rev[..., (1 + d) * f:(2 + d) * f],
+                           preferred_element_type=acc_t)
             )
         for c in range(5):
             blocks.append(
                 jnp.einsum("nkf,nkf->nf", w2,
-                           g_rev[..., (4 + c) * f:(5 + c) * f])
+                           g_rev[..., (4 + c) * f:(5 + c) * f],
+                           preferred_element_type=acc_t)
             )
         dfeats_c = jnp.concatenate(blocks, axis=-1)
         return dattr_c, dfeats_c
@@ -427,19 +458,23 @@ def _pns_dattr_impl(g9, feats9, idx, mask):
     mode = _DATTR_MODE
     if mode == "auto":
         mode = "blocked" if chunk < n else "temp"
+    feats9_g = _gather_cast(feats9)
+    acc_t = g9.dtype
 
     def one(args):
         g_c, idx_c, mask_c = args
         if mode == "einsum":
             c = idx_c.shape[0]
-            x0 = feats9[:, :f][idx_c]
-            x1 = feats9[:, f:4 * f][idx_c].reshape(c, -1, 3, f)
-            x2 = feats9[:, 4 * f:][idx_c].reshape(c, -1, 5, f)
+            x0 = feats9_g[:, :f][idx_c]
+            x1 = feats9_g[:, f:4 * f][idx_c].reshape(c, -1, 3, f)
+            x2 = feats9_g[:, 4 * f:][idx_c].reshape(c, -1, 5, f)
             d0 = g_c[:, None, :f] * x0
             d1 = jnp.einsum("cdf,ckdf->ckf",
-                            g_c[:, f:4 * f].reshape(c, 3, f), x1)
+                            g_c[:, f:4 * f].reshape(c, 3, f), x1,
+                            preferred_element_type=acc_t)
             d2 = jnp.einsum("cdf,ckdf->ckf",
-                            g_c[:, 4 * f:].reshape(c, 5, f), x2)
+                            g_c[:, 4 * f:].reshape(c, 5, f), x2,
+                            preferred_element_type=acc_t)
             return jnp.where(
                 mask_c[..., None], jnp.concatenate([d0, d1, d2], axis=-1),
                 0.0,
@@ -449,14 +484,14 @@ def _pns_dattr_impl(g9, feats9, idx, mask):
 
             def blk(b):
                 xjb = jnp.where(
-                    maskf, feats9[:, b * f:(b + 1) * f][idx_c], 0.0)
+                    maskf, feats9_g[:, b * f:(b + 1) * f][idx_c], 0.0)
                 return g_c[:, None, b * f:(b + 1) * f] * xjb
 
             d0 = blk(0)
             d1 = blk(1) + blk(2) + blk(3)
             d2 = blk(4) + blk(5) + blk(6) + blk(7) + blk(8)
             return jnp.concatenate([d0, d1, d2], axis=-1)
-        xj = jnp.where(mask_c[..., None], feats9[idx_c], 0.0)  # [C,K,9F]
+        xj = jnp.where(mask_c[..., None], feats9_g[idx_c], 0.0)  # [C,K,9F]
         gb = g_c[:, None, :]
         prod = gb * xj
         d0 = prod[..., :f]
