@@ -43,6 +43,50 @@ def test_kernel_matches_jnp():
                                atol=1e-6)
 
 
+def test_pre_kernel_matches_jnp():
+    """fused_edge_mlp_pre (TensorNet2 2-layer variant) vs its jnp chain."""
+    from torchmdnet_tpu.ops.pallas_kernels import (
+        edge_mlp_pre_jnp, fused_edge_mlp_pre,
+    )
+
+    rng = np.random.RandomState(2)
+    n, k, f = 16, 8, 16
+    pre1 = jnp.asarray(rng.randn(n, k, f).astype(np.float32))
+    cw = jnp.asarray(rng.rand(n, k).astype(np.float32))
+    w2 = jnp.asarray(rng.randn(f, 2 * f).astype(np.float32) * 0.3)
+    b2 = jnp.asarray(rng.randn(2 * f).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(rng.randn(2 * f, 3 * f).astype(np.float32) * 0.3)
+    b3 = jnp.asarray(rng.randn(3 * f).astype(np.float32) * 0.1)
+
+    ref = edge_mlp_pre_jnp(pre1, cw, w2, b2, w3, b3)
+    out = fused_edge_mlp_pre(pre1, cw, w2, b2, w3, b3, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6,
+                               atol=1e-6)
+
+    def loss(p_, w2_):
+        return jnp.sum(fused_edge_mlp_pre(p_, cw, w2_, b2, w3, b3, True))
+
+    def loss_ref(p_, w2_):
+        return jnp.sum(edge_mlp_pre_jnp(p_, cw, w2_, b2, w3, b3))
+
+    gp, gw = jax.grad(loss, argnums=(0, 1))(pre1, w2)
+    gp_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(pre1, w2)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gp_r), rtol=1e-5,
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gw), np.asarray(gw_r), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_pick_tile_respects_vmem_budget():
+    from torchmdnet_tpu.ops.pallas_kernels import _pick_tile
+
+    assert _pick_tile(25088, 96, 384) == 16   # the proven 25k config
+    assert _pick_tile(25088, 128, 384) == 8   # K=128 overflowed tile 16
+    assert _pick_tile(25088, 384, 384) == 4   # floor
+    # non-dividing n falls back until a divisor (or the jnp path)
+    assert 25088 % _pick_tile(25088, 96, 384) == 0
+
+
 def test_model_with_pallas_flag_matches():
     def args(flag):
         return dict(

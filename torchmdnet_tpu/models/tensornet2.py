@@ -108,38 +108,63 @@ class Interaction2(nn.Module):
         act = get_activation(self.activation)
         C = rbf_ops.cosine_cutoff(edge_weight, self.cutoff_upper, self.cutoff_lower)
 
-        k = nbr.idx.shape[1]
-        q_i = jnp.broadcast_to(charges[:, None, :], (charges.shape[0], k,
-                                                     charges.shape[1]))
-        q_j = gather_nodes(charges, nbr.idx, rev_slot, nbr.mask)
-        attr = jnp.concatenate([edge_attr, q_i, q_j], axis=-1)
+        # Charge-fold of the first edge linear (parameters unchanged):
+        # W1·[rbf; q_i; q_j] = rbf·W1a + (q·W1b + b1)[i] + (q·W1c)[j].
+        # The naive path gathers q_j as [N,K,q_dim] — 64 B rows that XLA
+        # lane-pads 8x and shuffles through {0,2,1} layout copies (~36
+        # ms/step at the 25k MD config, device trace 2026-08-17); the fold
+        # replaces it with one lane-aligned [N,F]-row gather and drops the
+        # [N,K,R+2Q] concat entirely.
+        from torchmdnet_tpu.models.common import LinearParams
+        from torchmdnet_tpu.ops.config import get_matmul_precision
+
+        R = edge_attr.shape[-1]
+        Q = charges.shape[-1]
+        w1, b1 = LinearParams(R + 2 * Q, F, name="linears_scalar_0")()
+        cdt = self.dtype if self.dtype is not None else edge_attr.dtype
+        w1, b1 = w1.astype(cdt), b1.astype(cdt)
+        qc = charges.astype(cdt)
+        hi = get_matmul_precision()
+        u_i = qc @ w1[R:R + Q] + b1  # bias folded into the i-term
+        u_j = qc @ w1[R + Q:]
+        uj_e = gather_nodes(u_j, nbr.idx, rev_slot, nbr.mask)
+        base = jnp.einsum("nkr,rf->nkf", edge_attr.astype(cdt), w1[:R],
+                          precision=hi)
+        pre1 = base + u_i[:, None, :] + uj_e
+        # Reverse-edge weights for the scatter-free asymmetric MP backward
+        # (ops/message_passing.py::packed_neighbor_sum_asym): same MLP,
+        # same distance factor, (q_i, q_j) roles swapped.  Dead code
+        # outside the backward pass under the selective-remat policy.
+        ui_e = gather_nodes(u_i, nbr.idx, rev_slot, nbr.mask)
+        pre1_rev = base + u_j[:, None, :] + ui_e
         use_pallas = (
             self.pallas_edge_mlp
             and self.activation == "silu"
-            and attr.dtype == jnp.float32
+            and pre1.dtype == jnp.float32
             and self.dtype is None
         )
+        cw = C * nbr.mask.astype(pre1.dtype)
         if use_pallas:
-            # Same fused kernel as TensorNet's interaction (the first
-            # linear simply has R+2·q_dim inputs): the whole 3-layer chain
-            # stays in VMEM per edge tile; only [N,K,3F] is written.
-            from torchmdnet_tpu.models.common import LinearParams
-            from torchmdnet_tpu.ops.pallas_kernels import fused_edge_mlp
+            # Remaining 2-layer chain in VMEM per edge tile; only the
+            # final [N,K,3F] is written.
+            from torchmdnet_tpu.ops.pallas_kernels import fused_edge_mlp_pre
 
-            cin = attr.shape[-1]
-            w1, b1 = LinearParams(cin, F, name="linears_scalar_0")()
             w2, b2 = LinearParams(F, 2 * F, name="linears_scalar_1")()
             w3, b3 = LinearParams(2 * F, 3 * F, name="linears_scalar_2")()
-            cw = C * nbr.mask.astype(attr.dtype)
-            attr = fused_edge_mlp(
-                attr, cw, w1, b1, w2, b2, w3, b3,
-                jax.default_backend() != "tpu",
-            )
+            interp = jax.default_backend() != "tpu"
+            attr = fused_edge_mlp_pre(pre1, cw, w2, b2, w3, b3, interp)
+            attr_rev = fused_edge_mlp_pre(pre1_rev, cw, w2, b2, w3, b3,
+                                          interp)
         else:
-            attr = act(Linear(F, name="linears_scalar_0", dtype=self.dtype)(attr))
-            attr = act(Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)(attr))
-            attr = act(Linear(3 * F, name="linears_scalar_2", dtype=self.dtype)(attr))
-            attr = attr * (C * nbr.mask.astype(attr.dtype))[..., None]
+            l2 = Linear(2 * F, name="linears_scalar_1", dtype=self.dtype)
+            l3 = Linear(3 * F, name="linears_scalar_2", dtype=self.dtype)
+
+            def mlp_tail(p):
+                h = act(l3(act(l2(act(p)))))
+                return h * cw[..., None]
+
+            attr = mlp_tail(pre1)
+            attr_rev = mlp_tail(pre1_rev)
 
         normp1 = tensor_frobenius_norm2(X) + 1.0
         X = Irreps(X.I / normp1, X.A / normp1[:, None, :], X.S / normp1[:, None, :])
@@ -148,7 +173,7 @@ class Interaction2(nn.Module):
             X, ["linears_tensor_0", "linears_tensor_1", "linears_tensor_2"],
             dtype=self.dtype,
         )
-        M = edge_message_passing(attr, Y, nbr, rev_slot)
+        M = edge_message_passing(attr, Y, nbr, rev_slot, attr_rev=attr_rev)
 
         Yf = compose_tensor(Y)
         Mf = compose_tensor(M)

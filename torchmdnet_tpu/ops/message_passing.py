@@ -570,6 +570,64 @@ packed_neighbor_sum_sym.defvjp(_pns_sym_fwd, _pns_sym_bwd)
 
 
 # ---------------------------------------------------------------------------
+# Asymmetric weights with *recomputed* reverse weights (TensorNet2)
+# ---------------------------------------------------------------------------
+#
+# TensorNet2's edge weights depend on (d, q_i, q_j) and are direction-
+# dependent, so the feature backward needs the weight of each edge's
+# REVERSE: the general ``_pns_bwd_pair`` fetches it element-granularly as
+# ``attr3f[idx, rev_slot]`` — an N·K·3F-element arbitrary gather that XLA
+# lowers to scalar loads (the dominant cost of the TensorNet2 MP backward
+# at 25k atoms, device trace 2026-08-17).  But the reverse weight is
+# *computable*: it is the same edge MLP evaluated with the (q_i, q_j)
+# roles swapped (the distance factor is symmetric).  The model passes that
+# ``attr_rev`` in; the backward then needs only ROW gathers:
+#
+# * ∂attr[i,k]  = fold9(g[i] ⊙ feats9[idx[i,k]])      (= _pns_dattr)
+# * ∂feats9[j]  = Σ_k expand9(attr_rev[j,k]) ⊙ g[idx[j,k]]
+#                 (= packed_neighbor_sum(attr_rev, g))
+#
+# ``attr_rev`` gets a zero first-order cotangent (the op's output does not
+# depend on it), but it participates in the backward through the
+# recursively differentiable packed sum, so force-training second order
+# picks up the real ∂w_rev/∂θ term — and stays scatter-free to all orders.
+# Under the selective-remat policy attr_rev is not saved, so its forward
+# evaluation is dead code outside the backward pass.
+
+
+@jax.custom_vjp
+def packed_neighbor_sum_asym(attr3f, attr_rev, feats9, idx, rev_slot, mask):
+    """:func:`packed_neighbor_sum` for direction-dependent weights whose
+    reverse-edge weights ``attr_rev[j,k] = attr3f[idx[j,k], rev_slot[j,k]]``
+    are recomputed by the caller (swapped-argument edge MLP) instead of
+    fetched element-granularly."""
+    return _pns_impl(attr3f, feats9, idx, rev_slot, mask)
+
+
+def _pns_asym_fwd(attr3f, attr_rev, feats9, idx, rev_slot, mask):
+    return packed_neighbor_sum_asym(
+        attr3f, attr_rev, feats9, idx, rev_slot, mask
+    ), (attr3f, attr_rev, feats9, idx, rev_slot, mask)
+
+
+def _pns_asym_bwd(res, g):
+    attr3f, attr_rev, feats9, idx, rev_slot, mask = res
+    dattr = _pns_dattr(g, feats9, idx, rev_slot, mask)
+    dfeats = packed_neighbor_sum(attr_rev, g, idx, rev_slot, mask)
+    return (
+        _cast_like(dattr, attr3f.dtype),
+        jnp.zeros_like(attr_rev),
+        _cast_like(dfeats, feats9.dtype),
+        None,
+        None,
+        None,
+    )
+
+
+packed_neighbor_sum_asym.defvjp(_pns_asym_fwd, _pns_asym_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Symmetric weighted pair dot (Coulomb head at scale)
 # ---------------------------------------------------------------------------
 
