@@ -141,6 +141,47 @@ def test_cell_matches_brute(loop):
     assert not bool(cell.overflow)
 
 
+@pytest.mark.parametrize("stencil", [2, 3])
+def test_cell_wide_stencil_matches_brute(stencil):
+    """±S stencil with cutoff/S-wide cells ≡ brute (large-cutoff grids,
+    used by the Coulomb head's neighbor list)."""
+    rng = np.random.RandomState(11)
+    n = 300
+    L = 24.0
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    box = np.diag([L, L, L]).astype(np.float32)
+    cutoff = 7.0  # large relative to the box: 27-stencil cells are 8 Å
+
+    ref = brute_neighbor_matrix(
+        jnp.asarray(pos), k_max=96, cutoff_upper=cutoff,
+        box=jnp.asarray(box),
+    )
+    cell = cell_neighbor_matrix(
+        jnp.asarray(pos), k_max=96, cutoff_upper=cutoff,
+        box=jnp.asarray(box), cell_capacity=24, stencil=stencil,
+    )
+    assert matrix_pairs(cell) == matrix_pairs(ref)
+    assert not bool(cell.overflow)
+
+
+def test_pick_cell_grid_covers_cutoff():
+    from torchmdnet_tpu.ops.neighbors import pick_cell_grid
+
+    for L, rc, n in [(63.0, 11.0, 25088), (20.0, 3.5, 200),
+                     (40.0, 10.0, 6400)]:
+        dims, S, cap = pick_cell_grid([L] * 3, rc, n)
+        # stencil must cover the cutoff sphere: S cells ≥ rc
+        assert all(L / d * S >= rc - 1e-9 for d in dims)
+        assert all(d >= 2 * S + 1 for d in dims)
+        # capacity holds the mean occupancy with headroom
+        occ = n / (dims[0] * dims[1] * dims[2])
+        assert cap >= occ * 2.0
+    # the large-cutoff case must pick a finer-than-27-stencil grid
+    dims, S, cap = pick_cell_grid([63.0] * 3, 11.0, 25088)
+    assert S >= 2
+    assert (2 * S + 1) ** 3 * cap < 27 * int(25088 / 5**3 * 2.5 + 8)
+
+
 def test_edge_list_format():
     pos = np.array([[0, 0, 0], [1, 0, 0], [10, 0, 0]], np.float32)
     nbr = brute_neighbor_matrix(jnp.asarray(pos), k_max=2, cutoff_upper=2.0)

@@ -68,15 +68,18 @@ else:
         q_dim=QDIM,
         pallas_edge_mlp=os.environ.get("MD_PALLAS", "1") == "1",
     )
-    _cdims = max(int(np.floor(L / max(COULOMB_RC, 1.0))), 3)
     if COULOMB_RC > 0:
+        from torchmdnet_tpu.ops.neighbors import pick_cell_grid
+
+        _cd, _cs, _cc = pick_cell_grid([L] * 3, COULOMB_RC, N)
         args.update(
             output_model="ScalarPlusWeightedCoulomb",
             q_weights=[[1.0] * QDIM] * (args["num_layers"] + 1),
             coulomb_cutoff=COULOMB_RC,
             coulomb_neighbor_strategy="cell",
-            coulomb_cells_per_dim=[_cdims] * 3,
-            coulomb_cell_capacity=int(N / _cdims**3 * 2.5) + 8,
+            coulomb_cells_per_dim=list(_cd),
+            coulomb_cell_stencil=_cs,
+            coulomb_cell_capacity=_cc,
         )
 pot = create_model(args)
 zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)

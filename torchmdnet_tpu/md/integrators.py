@@ -147,17 +147,19 @@ def make_md_step(
         if neighbor_strategy == "cell":
             import numpy as np
 
+            from torchmdnet_tpu.ops.neighbors import pick_cell_grid
+
             b = np.asarray(jax.device_get(jnp.asarray(box)))
             if b.ndim == 3:
                 b = b[0]
-            dims = np.maximum(
-                np.floor(np.diag(b).astype(np.float64) / rc_skin).astype(
-                    np.int64), 3
-            )
-            ckwargs["cells_per_dim"] = tuple(int(d) for d in dims)
             n_real = int(jax.device_get(jnp.sum(atom_mask)))
-            occ = n_real / float(np.prod(ckwargs["cells_per_dim"]))
-            ckwargs["cell_capacity"] = int(occ * 2.5) + 8
+            # Finer cells + wider stencil: at the Coulomb cutoff the
+            # 27-stencil covers ~10x the needed sphere and its compaction
+            # dominates the rebuild (see ops/neighbors.pick_cell_grid).
+            dims, S, cap = pick_cell_grid(np.diag(b), rc_skin, n_real)
+            ckwargs["cells_per_dim"] = dims
+            ckwargs["stencil"] = S
+            ckwargs["cell_capacity"] = cap
 
         def build_cnbr(pos):
             return build_neighbor_matrix(

@@ -322,6 +322,9 @@ def create_model(args: dict, prior_models=None, mean=None, std=None,
                 tuple(int(c) for c in args["coulomb_cells_per_dim"])
                 if args.get("coulomb_cells_per_dim") else None
             ),
+            coulomb_cell_stencil=int(
+                args.get("coulomb_cell_stencil", 1) or 1
+            ),
             coulomb_cell_capacity=int(
                 args.get("coulomb_cell_capacity", 64) or 64
             ),

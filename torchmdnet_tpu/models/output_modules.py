@@ -209,6 +209,9 @@ class ScalarPlusWeightedCoulomb(OutputModel):
     # there, so the dims cannot be derived in-trace)
     coulomb_cells_per_dim: Optional[tuple] = None
     coulomb_cell_capacity: int = 64
+    # ±S stencil with cutoff/S-wide cells (ops/neighbors.pick_cell_grid):
+    # at the Coulomb cutoff this shrinks the candidate width several-fold
+    coulomb_cell_stencil: int = 1
     epsilon_solvent: float = 78.3
 
     # 0.5 · Hartree · Bohr (eV·Å Coulomb constant / 2), reference :397-401
@@ -272,6 +275,7 @@ class ScalarPlusWeightedCoulomb(OutputModel):
                     cell_kwargs = dict(
                         cells_per_dim=self.coulomb_cells_per_dim,
                         cell_capacity=self.coulomb_cell_capacity,
+                        stencil=self.coulomb_cell_stencil,
                     )
                 nbr = build_neighbor_matrix(
                     pos,

@@ -174,6 +174,40 @@ def _cell_dims(box_diag: jnp.ndarray, cutoff: float) -> jnp.ndarray:
     return jnp.maximum(dims, 3)
 
 
+def pick_cell_grid(box_diag, cutoff: float, n_atoms: int,
+                   capacity_factor: float = 2.5):
+    """Choose ``(cells_per_dim, stencil, cell_capacity)`` minimizing the
+    candidate width ``(2S+1)³ · capacity``.
+
+    With the fixed 27-stencil, cells must be ≥ cutoff wide — at a large
+    cutoff (the Coulomb head's 10 Å) that covers ~10× the needed sphere
+    volume and the compaction scatter dominates the rebuild (345M-element
+    scatter at 25k, device trace 2026-08-17).  Finer cells with a wider
+    ±S stencil tighten the covered volume toward the cutoff sphere.
+    """
+    import numpy as np
+
+    bd = np.asarray(box_diag, dtype=np.float64)
+    vol = float(np.prod(bd))
+    best = None
+    for s in (1, 2, 3, 4):
+        dims = np.floor(bd * s / cutoff).astype(np.int64)
+        dims = np.maximum(dims, 2 * s + 1)
+        if np.any(bd / dims * s < cutoff):  # box too small for this S
+            continue
+        occ = n_atoms / float(np.prod(dims))
+        cap = int(np.ceil(occ * capacity_factor)) + 8
+        width = (2 * s + 1) ** 3 * cap
+        if best is None or width < best[0]:
+            best = (width, tuple(int(d) for d in dims), s, cap)
+    if best is None:  # degenerate tiny box: single 27-stencil cell grid
+        dims = np.maximum(np.floor(bd / cutoff).astype(np.int64), 3)
+        occ = n_atoms / float(np.prod(dims))
+        return (tuple(int(d) for d in dims), 1,
+                int(np.ceil(occ * capacity_factor)) + 8)
+    return best[1], best[2], best[3]
+
+
 def cell_neighbor_matrix(
     pos: jnp.ndarray,
     batch: Optional[jnp.ndarray] = None,
@@ -186,16 +220,20 @@ def cell_neighbor_matrix(
     atom_mask: Optional[jnp.ndarray] = None,
     cell_capacity: int = 64,
     cells_per_dim: Optional[tuple] = None,
+    stencil: int = 1,
 ) -> NeighborMatrix:
-    """O(N·27·cell_capacity) neighbor matrix via sort-based cell binning.
+    """O(N·(2S+1)³·cell_capacity) neighbor matrix via sort-based binning.
 
     Reference parity: cell strategy (``warp_kernels/neighbors_cell.py``),
     orthogonal boxes only, cells ≥ cutoff wide, 27-cell stencil.  TPU-native
     redesign: instead of GPU atomics we (1) assign each atom a cell id,
     (2) ``argsort`` atoms by cell id (XLA sort), (3) scatter sorted atoms
-    into a dense ``[n_cells, cell_capacity]`` table, (4) gather the 27
-    neighboring cells' slots per atom into a candidate list and (5) compact
-    with the same deterministic top-k as the brute path.
+    into a dense ``[n_cells, cell_capacity]`` table, (4) gather the
+    stencil cells' slots per atom into a candidate list and (5) compact
+    with the same deterministic top-k as the brute path.  Beyond the
+    reference: ``stencil=S`` generalizes to cells ≥ cutoff/S wide with a
+    ±S stencil — at large cutoffs this shrinks the candidate width (and
+    the compaction cost) several-fold; see :func:`pick_cell_grid`.
 
     Requires an orthogonal ``box`` ([3,3], diagonal used).  ``cells_per_dim``
     must be static; if None it is computed from the concrete box (requires
@@ -215,7 +253,10 @@ def cell_neighbor_matrix(
         import numpy as np
 
         bd = np.asarray(jax.device_get(box_diag), dtype=np.float64)
-        dims = np.maximum(np.floor(bd / cutoff_upper).astype(np.int64), 3)
+        dims = np.maximum(
+            np.floor(bd * stencil / cutoff_upper).astype(np.int64),
+            2 * stencil + 1,
+        )
         cells_per_dim = tuple(int(d) for d in dims)
 
     return _cell_neighbor_matrix_impl(
@@ -229,6 +270,7 @@ def cell_neighbor_matrix(
         atom_mask=atom_mask,
         cell_capacity=cell_capacity,
         cells_per_dim=cells_per_dim,
+        stencil=stencil,
     )
 
 
@@ -241,6 +283,7 @@ def cell_neighbor_matrix(
         "loop",
         "cell_capacity",
         "cells_per_dim",
+        "stencil",
     ),
 )
 def _cell_neighbor_matrix_impl(
@@ -255,6 +298,7 @@ def _cell_neighbor_matrix_impl(
     atom_mask,
     cell_capacity,
     cells_per_dim,
+    stencil=1,
 ):
     n = pos.shape[0]
     pos = jax.lax.stop_gradient(pos)
@@ -287,16 +331,20 @@ def _cell_neighbor_matrix_impl(
         jnp.clip(rank, 0, cell_capacity - 1),
     ].set(jnp.where(in_cap, order.astype(jnp.int32), n))
 
-    # 27-cell stencil: candidate atoms per atom.
+    # ±S-cell stencil: candidate atoms per atom (S=1 ⇒ the reference's
+    # 27-cell stencil; requires dims ≥ 2S+1, enforced by the callers).
+    S = int(stencil)
+    ns = 2 * S + 1
     offs = jnp.stack(
         jnp.meshgrid(
-            jnp.arange(-1, 2), jnp.arange(-1, 2), jnp.arange(-1, 2), indexing="ij"
+            jnp.arange(-S, S + 1), jnp.arange(-S, S + 1),
+            jnp.arange(-S, S + 1), indexing="ij"
         ),
         axis=-1,
-    ).reshape(27, 3)
+    ).reshape(ns**3, 3)
     ncell_xyz = (cell_xyz[:, None, :] + offs[None, :, :]) % dims[None, None, :]
     ncell_id = (ncell_xyz[..., 0] * ny + ncell_xyz[..., 1]) * nz + ncell_xyz[..., 2]
-    cand = table[ncell_id].reshape(n, 27 * cell_capacity)  # [N, C] atom idx or n
+    cand = table[ncell_id].reshape(n, ns**3 * cell_capacity)  # [N, C]
     cand_valid = cand < n
     cand_safe = jnp.minimum(cand, n - 1)
 
@@ -312,7 +360,7 @@ def _cell_neighbor_matrix_impl(
     # arbitrary indices, which XLA lowers to scalar loads (~800 ms at 25k
     # atoms); the two-hop form is bit-identical and bandwidth-bound (~20 ms).
     table_safe = jnp.minimum(table, n - 1)
-    C = 27 * cell_capacity
+    C = ns**3 * cell_capacity
     d2 = jnp.zeros((n, C), pos.dtype)
     for c in range(3):
         pc = pos[:, c]
@@ -385,6 +433,7 @@ def build_neighbor_matrix(
     if strategy == "brute":
         kwargs.pop("cell_capacity", None)
         kwargs.pop("cells_per_dim", None)
+        kwargs.pop("stencil", None)
         return brute_neighbor_matrix(pos, batch, **kwargs)
     if strategy == "cell":
         return cell_neighbor_matrix(pos, batch, **kwargs)
