@@ -1,0 +1,177 @@
+"""Cell-blocked window structure + blocked MP kernel vs the gather
+oracle (interpret mode on CPU; the real-TPU path is exercised by
+tools/bench_md.py and test_blocked_mp_tpu)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from torchmdnet_tpu.ops.cell_blocks import (
+    CellBlockSpec, make_cell_block_spec, plan_cell_blocks, edge_rel,
+)
+from torchmdnet_tpu.ops.neighbors import build_neighbor_matrix
+from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum
+from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum
+
+
+def _system(n=600, density=0.1, seed=0):
+    rng = np.random.RandomState(seed)
+    L = (n / density) ** (1.0 / 3.0)
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    box = np.diag([L, L, L]).astype(np.float32)
+    return pos, box, L
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_window_covers_all_neighbors(seed):
+    n, cutoff, k = 600, 3.2, 48
+    pos, box, L = _system(n, seed=seed)
+    spec = make_cell_block_spec(np.diag(box), cutoff, n, cap=8)
+    blocks = plan_cell_blocks(jnp.asarray(pos), jnp.diag(jnp.asarray(box)),
+                              spec)
+    assert not bool(blocks.overflow)
+
+    # sorted-space positions (ghosts parked at the origin, masked out)
+    perm = np.asarray(blocks.perm)
+    ghost = perm >= n
+    pos_s = np.where(ghost[:, None], 0.0, pos[np.minimum(perm, n - 1)])
+    nbr = build_neighbor_matrix(
+        jnp.asarray(pos_s), strategy="brute", k_max=k,
+        cutoff_upper=cutoff, box=jnp.asarray(box),
+        atom_mask=jnp.asarray(~ghost),
+    )
+    assert not bool(nbr.overflow)
+    rel, eov = edge_rel(blocks, nbr.idx, nbr.mask, jnp.asarray(pos_s),
+                        jnp.diag(jnp.asarray(box)))
+    assert not bool(eov)
+
+    # every masked edge's rel must address its neighbor row in the window
+    rel_np = np.asarray(rel)
+    idx_np = np.asarray(nbr.idx)
+    mask_np = np.asarray(nbr.mask)
+    rs = np.asarray(blocks.run_starts)
+    rlh, cap = spec.rlh, spec.cap
+    for i in range(spec.n_pad):
+        b = i // cap
+        for kk in np.nonzero(mask_np[i])[0]:
+            r = rel_np[i, kk] // rlh
+            off = rel_np[i, kk] % rlh
+            assert rs[b, r] + off == idx_np[i, kk], (i, kk)
+
+
+def test_blocked_mp_matches_gather_oracle():
+    n, cutoff, k, f = 600, 3.2, 48, 16
+    pos, box, L = _system(n)
+    spec = make_cell_block_spec(np.diag(box), cutoff, n, cap=8)
+    blocks = plan_cell_blocks(jnp.asarray(pos), jnp.diag(jnp.asarray(box)),
+                              spec)
+    perm = np.asarray(blocks.perm)
+    ghost = perm >= n
+    pos_s = np.where(ghost[:, None], 0.0, pos[np.minimum(perm, n - 1)])
+    nbr = build_neighbor_matrix(
+        jnp.asarray(pos_s), strategy="brute", k_max=k,
+        cutoff_upper=cutoff, box=jnp.asarray(box),
+        atom_mask=jnp.asarray(~ghost),
+    )
+    rel, eov = edge_rel(blocks, nbr.idx, nbr.mask, jnp.asarray(pos_s),
+                        jnp.diag(jnp.asarray(box)))
+    assert not bool(eov) and not bool(blocks.overflow)
+
+    rng = np.random.RandomState(1)
+    n_pad = spec.n_pad
+    attr = rng.randn(n_pad, k, 3 * f).astype(np.float32)
+    attr = np.where(np.asarray(nbr.mask)[..., None], attr, 0.0)
+    feats = rng.randn(n_pad, 9 * f).astype(np.float32)
+
+    ref = packed_neighbor_sum(
+        jnp.asarray(attr), jnp.asarray(feats), nbr.idx, nbr.rev_slot,
+        nbr.mask)
+    out = blocked_neighbor_sum(
+        jnp.asarray(attr), jnp.asarray(feats), rel, blocks.run_starts,
+        spec=spec, interpret=True)
+    ref_np = np.asarray(ref)
+    out_np = np.asarray(out)
+    scale = np.abs(ref_np).max()
+    # one bf16 pass on the gathered features (storage-tier contract)
+    assert np.abs(out_np - ref_np).max() / scale < 2e-2
+
+
+def _blocked_setup(n=600, cutoff=3.2, k=48, f=16, seed=0):
+    pos, box, L = _system(n, seed=seed)
+    from torchmdnet_tpu.ops.cell_blocks import make_cell_block_spec
+    spec = make_cell_block_spec(np.diag(box), cutoff, n, cap=8)
+    blocks = plan_cell_blocks(jnp.asarray(pos), jnp.diag(jnp.asarray(box)),
+                              spec)
+    perm = np.asarray(blocks.perm)
+    ghost = perm >= n
+    pos_s = np.where(ghost[:, None], 0.0, pos[np.minimum(perm, n - 1)])
+    nbr = build_neighbor_matrix(
+        jnp.asarray(pos_s), strategy="brute", k_max=k,
+        cutoff_upper=cutoff, box=jnp.asarray(box),
+        atom_mask=jnp.asarray(~ghost),
+    )
+    rel, eov = edge_rel(blocks, nbr.idx, nbr.mask, jnp.asarray(pos_s),
+                        jnp.diag(jnp.asarray(box)))
+    assert not bool(eov) and not bool(blocks.overflow)
+    rng = np.random.RandomState(seed + 10)
+    n_pad = spec.n_pad
+    attr = rng.randn(n_pad, k, 3 * f).astype(np.float32)
+    attr = np.where(np.asarray(nbr.mask)[..., None], attr, 0.0)
+    feats = rng.randn(n_pad, 9 * f).astype(np.float32)
+    return spec, blocks, nbr, rel, jnp.asarray(attr), jnp.asarray(feats)
+
+
+def test_blocked_sym_grads_match_packed():
+    from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum_sym
+    from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum_sym
+
+    spec, blocks, nbr, rel, attr, feats = _blocked_setup()
+    # symmetrize attr across edge directions so the sym contract holds:
+    # w(i,k) must equal w(j, rev_slot). Easiest: make attr a function of
+    # the unordered pair via gather-symmetrization.
+    rev = nbr.rev_slot
+    attr_rev = attr[nbr.idx, rev]
+    attr_sym = jnp.where(nbr.mask[..., None], 0.5 * (attr + attr_rev), 0.0)
+
+    def loss_b(a, x):
+        out = blocked_neighbor_sum_sym(a, x, rel, blocks.run_starts, spec,
+                                       True)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    def loss_p(a, x):
+        out = packed_neighbor_sum_sym(a, x, nbr.idx, nbr.rev_slot, nbr.mask)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(attr_sym, feats)
+    gp = jax.grad(loss_p, argnums=(0, 1))(attr_sym, feats)
+    for b, p, name in zip(gb, gp, ("dattr", "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        scale = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / scale < 3e-2, name
+
+
+def test_blocked_asym_grads_match_packed():
+    from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum_asym
+    from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum_asym
+
+    spec, blocks, nbr, rel, attr, feats = _blocked_setup(seed=3)
+    rev = nbr.rev_slot
+    attr_rev = jnp.where(nbr.mask[..., None], attr[nbr.idx, rev], 0.0)
+
+    def loss_b(a, ar, x):
+        out = blocked_neighbor_sum_asym(a, ar, x, rel, blocks.run_starts,
+                                        spec, True)
+        return jnp.sum(jnp.sin(out))
+
+    def loss_p(a, ar, x):
+        out = packed_neighbor_sum_asym(a, ar, x, nbr.idx, nbr.rev_slot,
+                                       nbr.mask)
+        return jnp.sum(jnp.sin(out))
+
+    gb = jax.grad(loss_b, argnums=(0, 2))(attr, attr_rev, feats)
+    gp = jax.grad(loss_p, argnums=(0, 2))(attr, attr_rev, feats)
+    for b, p, name in zip(gb, gp, ("dattr", "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        scale = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / scale < 3e-2, name

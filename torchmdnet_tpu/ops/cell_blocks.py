@@ -1,0 +1,322 @@
+"""Cell-blocked window structure for the Pallas message-passing kernel.
+
+The K-slot neighbor gather ``x[idx[n,k]]`` is the HBM floor of large-N
+message passing: XLA lowers it to row-granular loads at ~330 GB/s with a
+K× read amplification (docs/PERF.md).  The reference's answer is a Warp
+gather kernel (``torchmdnet/extensions/warp_kernels/tensornet_mp.py:42-131``);
+the TPU-native answer is *cell-blocked windows*: sort atoms spatially so
+that every block of ``CAP`` consecutive rows has all its neighbors inside
+a bounded set of contiguous row *runs* (the 3×3 neighboring xy-columns,
+z-cropped to the cutoff).  A Pallas kernel DMAs those runs into VMEM once
+per block and performs the gather on-chip as a one-hot bf16 matmul on the
+MXU (ops/pallas_blocked_mp.py) — window rows are read once per *block*
+instead of once per *edge*.
+
+Layout: atoms sorted by (xy-column, fine z-bin), each column padded to a
+multiple of ``CAP`` with ghost rows so no block straddles a column
+boundary.  Window of a block = for each of its 9 stencil columns, the
+rows whose fine z-bin lies within ``cutoff`` of the block's own z-range.
+Periodic z-wrap makes that up to two contiguous row pieces per column;
+each piece is fetched by whole ``RLH``-row runs (piece-aligned, so a run
+never spans a gap).  Build produces, per block, ``NR`` run start rows
+and, per edge, the window-relative neighbor position ``rel`` such that
+``window[rel[i,k]] == x_sorted[idx[i,k]]``.  Coverage failures raise the
+``overflow`` flag (same contract as the K-overflow surface of
+ops/neighbors.py) — callers fall back to the gather path or rebuild with
+larger static knobs.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+class CellBlockSpec(NamedTuple):
+    """Static geometry knobs (hashable; part of the jit signature)."""
+
+    nx: int          # coarse xy-columns (≥ cutoff wide each, 3×3 stencil)
+    ny: int
+    nzf: int         # fine z-bins per column (crop granularity)
+    cap: int         # rows per block
+    rpc: int         # runs per stencil column (NR = 9·rpc)
+    rlh: int         # rows per run
+    n_pad: int       # padded sorted row count (N + per-column alignment)
+    cut_bins: int    # cutoff in fine z-bins (ceil) + 1 slop bin
+
+    @property
+    def nr(self) -> int:
+        return 9 * self.rpc
+
+    @property
+    def window(self) -> int:
+        return self.nr * self.rlh
+
+    @property
+    def n_blocks(self) -> int:
+        return self.n_pad // self.cap
+
+
+class CellBlocks(NamedTuple):
+    """Rebuild-time window structure (static shapes given a spec)."""
+
+    perm: jnp.ndarray        # [n_pad] sorted row -> original atom (N = ghost)
+    inv_perm: jnp.ndarray    # [N] original atom -> sorted row
+    mask_rows: jnp.ndarray   # [n_pad] bool: real atom rows
+    run_starts: jnp.ndarray  # [n_blocks, NR] int32 row starts (clamped)
+    nr1: jnp.ndarray         # [n_blocks, 9] runs used by piece 1 per column
+    a1: jnp.ndarray          # [n_blocks, 9] piece-1 start row
+    a2: jnp.ndarray          # [n_blocks, 9] piece-2 start row
+    e1: jnp.ndarray          # [n_blocks, 9] piece-1 end row
+    e2: jnp.ndarray          # [n_blocks, 9] piece-2 end row
+    overflow: jnp.ndarray    # bool: run capacity exceeded somewhere
+    spec: CellBlockSpec
+
+
+def make_cell_block_spec(
+    box_diag,
+    cutoff: float,
+    n_atoms: int,
+    *,
+    cap: int = 16,
+    rpc: int = 2,
+    rlh: Optional[int] = None,
+    zf_width: float = 2.0,
+) -> CellBlockSpec:
+    """Pick static knobs from concrete geometry.
+
+    ``rlh`` defaults to a density estimate with ~60% headroom rounded up
+    to a sublane multiple; the rebuild overflow flag catches
+    underestimates (inhomogeneous systems may need a larger value).
+    """
+    bd = np.asarray(box_diag, dtype=np.float64)
+    nx = max(int(bd[0] // cutoff), 1)
+    ny = max(int(bd[1] // cutoff), 1)
+    nzf = max(int(bd[2] / zf_width), 1)
+    zbin = bd[2] / nzf
+    cut_bins = int(np.ceil(cutoff / zbin)) + 1
+    ncols = nx * ny
+    n_pad = int(np.ceil((n_atoms + ncols * cap) / cap) * cap)
+    if rlh is None:
+        rho_col = n_atoms / ncols / bd[2]          # atoms per Å per column
+        span = cap / max(rho_col, 1e-9)            # block z-extent in Å
+        z_ext = 2.0 * cutoff + span + 2.0 * zbin
+        rows = z_ext * rho_col * 1.6 / rpc
+        rlh = max(int(np.ceil(rows / 8) * 8), 8)
+    return CellBlockSpec(nx=nx, ny=ny, nzf=nzf, cap=cap, rpc=rpc,
+                         rlh=rlh, n_pad=n_pad, cut_bins=cut_bins)
+
+
+def _column_bins(pos, box_diag, spec: CellBlockSpec):
+    """(column id, fine z-bin) per atom, PBC-wrapped."""
+    frac = pos / box_diag[None, :]
+    frac = frac - jnp.floor(frac)
+    cx = jnp.clip((frac[:, 0] * spec.nx).astype(jnp.int32), 0, spec.nx - 1)
+    cy = jnp.clip((frac[:, 1] * spec.ny).astype(jnp.int32), 0, spec.ny - 1)
+    zf = jnp.clip((frac[:, 2] * spec.nzf).astype(jnp.int32), 0, spec.nzf - 1)
+    return cx * spec.ny + cy, zf
+
+
+def plan_cell_blocks(pos, box_diag, spec: CellBlockSpec) -> CellBlocks:
+    """Sort + window-run geometry (no edges yet: ``rel`` is filled by
+    :func:`edge_rel` after the neighbor list is built on the sorted
+    positions).  ``pos`` [N, 3] is in the *original* atom order."""
+    arrays = _plan_impl(pos, box_diag, spec)
+    return CellBlocks(*arrays, spec=spec)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _plan_impl(pos, box_diag, spec: CellBlockSpec):
+    n = pos.shape[0]
+    cap, rpc, rlh, nzf = spec.cap, spec.rpc, spec.rlh, spec.nzf
+    ncols = spec.nx * spec.ny
+    n_pad = spec.n_pad
+    n_blocks = spec.n_blocks
+
+    col, zf = _column_bins(pos, box_diag, spec)
+    key = col * (nzf + 1) + zf
+    order = jnp.argsort(key).astype(jnp.int32)        # sorted -> original
+
+    csize = jnp.zeros((ncols,), jnp.int32).at[col].add(1)
+    cal = ((csize + cap - 1) // cap) * cap            # CAP-aligned sizes
+    cstart_pad = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cal).astype(jnp.int32)])
+    cstart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(csize).astype(jnp.int32)])
+
+    c_sorted = col[order]
+    row_pad = cstart_pad[c_sorted] + (
+        jnp.arange(n, dtype=jnp.int32) - cstart[c_sorted])
+    perm = jnp.full((n_pad,), n, jnp.int32).at[row_pad].set(order)
+    inv_perm = jnp.zeros((n,), jnp.int32).at[order].set(row_pad)
+    mask_rows = perm < n
+
+    # bin starts in padded row space: within a column, real rows are
+    # contiguous from cstart_pad[c]; ghosts trail past all bins.
+    bcount = jnp.zeros((ncols * nzf,), jnp.int32).at[
+        col * nzf + zf].add(1)
+    bin_csum = jnp.cumsum(bcount).astype(jnp.int32)
+    bin_excl = jnp.concatenate([jnp.zeros((1,), jnp.int32), bin_csum])
+    col_of_bin = jnp.arange(ncols * nzf, dtype=jnp.int32) // nzf
+    # rows before bin b within its column = bin_excl[b] - cstart[col]
+    bin_start_flat = cstart_pad[col_of_bin] + (
+        bin_excl[:-1] - cstart[col_of_bin])
+    # sentinel row for "bin index == nzf": end of the column's real rows
+    col_real_end = cstart_pad[:-1] + csize                      # [ncols]
+    # bin_start[c, z] for z in [0, nzf]: shape [ncols, nzf+1]
+    bin_start = jnp.concatenate(
+        [bin_start_flat.reshape(ncols, nzf), col_real_end[:, None]], axis=1)
+
+    # block z-ranges from the block's own real rows
+    zf_pad = jnp.where(mask_rows, zf[jnp.minimum(perm, n - 1)], -1)
+    zf_b = zf_pad.reshape(n_blocks, cap)
+    any_real = (zf_b >= 0).any(axis=1)
+    zlo = jnp.min(jnp.where(zf_b >= 0, zf_b, nzf), axis=1) - spec.cut_bins
+    zhi = jnp.max(zf_b, axis=1) + spec.cut_bins
+    zlo = jnp.where(any_real, zlo, 0)
+    zhi = jnp.where(any_real, zhi, -1)                # empty window
+
+    # stencil columns (PBC wrap)
+    col_pad = jnp.where(mask_rows, col[jnp.minimum(perm, n - 1)], 0)
+    col_b = col_pad.reshape(n_blocks, cap)[:, 0]
+    cx = col_b // spec.ny
+    cy = col_b % spec.ny
+    dx = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
+    dy = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
+    sx = (cx[:, None] + dx[None, :]) % spec.nx
+    sy = (cy[:, None] + dy[None, :]) % spec.ny
+    scol = sx * spec.ny + sy                          # [n_blocks, 9]
+
+    # coverage pieces per stencil column: z in [zlo, zhi] with PBC wrap.
+    lo = zlo[:, None]
+    hi = zhi[:, None]
+    wrap_lo = lo < 0
+    wrap_hi = hi >= nzf
+    whole = wrap_lo & wrap_hi | ((hi - lo + 1) >= nzf)
+    lo_w = jnp.where(wrap_lo, lo + nzf, lo)
+    hi_w = jnp.where(wrap_hi, hi - nzf, hi)
+
+    def bsz(z):
+        zc = jnp.broadcast_to(jnp.clip(z, 0, nzf), scol.shape)
+        return jnp.take_along_axis(
+            bin_start[scol.reshape(-1)],
+            zc.reshape(-1, 1), axis=1).reshape(scol.shape)
+
+    base = bsz(jnp.zeros_like(scol))
+    q_end = bsz(jnp.full_like(scol, nzf))
+    # non-wrapped: piece1 = [lo, hi+1); wrapped-lo: piece1 = [lo_w, nzf),
+    # piece2 = [0, hi+1); wrapped-hi: piece1 = [lo, nzf), piece2 = [0, hi_w+1)
+    a1 = jnp.where(wrap_lo, bsz(lo_w), bsz(lo))
+    e1 = jnp.where(wrap_lo | wrap_hi, q_end, bsz(hi + 1))
+    a2 = jnp.where(wrap_lo | wrap_hi, base, e1)
+    e2 = jnp.where(wrap_lo, bsz(hi_w + 1),
+                   jnp.where(wrap_hi, bsz(hi_w + 1), e1))
+    a1 = jnp.where(whole, base, a1)
+    e1 = jnp.where(whole, q_end, e1)
+    a2 = jnp.where(whole, e1, a2)
+    e2 = jnp.where(whole, e1, e2)
+    empty = hi < lo
+    a1 = jnp.where(empty, base, a1)
+    e1 = jnp.where(empty, base, e1)
+    a2 = jnp.where(empty, base, a2)
+    e2 = jnp.where(empty, base, e2)
+
+    # When the two pieces sit close in row space (wrapped windows in
+    # short columns), covering the merged interval [a2, e1) — junk rows
+    # in the gap are harmless — can need fewer runs than piece-aligned
+    # coverage (piece quantization wastes up to rlh-1 rows per piece).
+    has2 = e2 > a2
+    merged_len = e1 - a2                              # piece2 precedes piece1
+    runs_split = (e1 - a1 + rlh - 1) // rlh + (e2 - a2 + rlh - 1) // rlh
+    runs_merged = (merged_len + rlh - 1) // rlh
+    merge = has2 & (runs_merged <= runs_split)
+    a1 = jnp.where(merge, a2, a1)
+    a2 = jnp.where(merge, e2, a2)
+    e2 = jnp.where(merge, a2, e2)
+
+    len1 = e1 - a1
+    len2 = e2 - a2
+    nr1 = (len1 + rlh - 1) // rlh                     # piece-1 runs used
+    nr2 = (len2 + rlh - 1) // rlh
+    overflow = jnp.any((nr1 + nr2) > rpc)
+
+    # run starts: piece-aligned; piece-2 runs follow piece-1 runs.
+    j = jnp.arange(rpc, dtype=jnp.int32)[None, None, :]
+    nr1e = nr1[:, :, None]
+    starts = jnp.where(
+        j < nr1e,
+        a1[:, :, None] + j * rlh,
+        a2[:, :, None] + (j - nr1e) * rlh,
+    )
+    starts = jnp.clip(starts, 0, max(n_pad - rlh, 0))
+    run_starts = starts.reshape(n_blocks, spec.nr).astype(jnp.int32)
+
+    return (perm, inv_perm, mask_rows, run_starts,
+            nr1.astype(jnp.int32),
+            a1.astype(jnp.int32), a2.astype(jnp.int32),
+            e1.astype(jnp.int32), e2.astype(jnp.int32),
+            overflow)
+
+
+@partial(jax.jit, static_argnames=("spec",))
+def _edge_rel_impl(blocks_arrays, idx, mask, pos_s, box_diag, spec):
+    (run_starts, nr1, a1, a2, e1, e2) = blocks_arrays
+    cap, rpc, rlh = spec.cap, spec.rpc, spec.rlh
+    n_pad, k = idx.shape
+    n_blocks = spec.n_blocks
+
+    col_s, _ = _column_bins(pos_s, box_diag, spec)    # sorted-space columns
+    jcol = col_s[idx]                                 # [n_pad, K]
+
+    blk = jnp.arange(n_pad, dtype=jnp.int32) // cap
+    # stencil columns per block, derived from runs' geometry inputs: the
+    # planner's scol is reproducible from the block's own column
+    cx = col_s.reshape(n_blocks, cap)[:, 0] // spec.ny
+    cy = col_s.reshape(n_blocks, cap)[:, 0] % spec.ny
+    dx = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
+    dy = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
+    scol = ((cx[:, None] + dx[None, :]) % spec.nx) * spec.ny + (
+        (cy[:, None] + dy[None, :]) % spec.ny)        # [n_blocks, 9]
+
+    eq = scol[blk][:, None, :] == jcol[:, :, None]    # [n_pad, K, 9]
+    q = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+    matched = eq.any(axis=-1)
+
+    def g(x):
+        return jnp.take_along_axis(x[blk], q, axis=1)
+
+    a1e, e1e, a2e, e2e, nr1e = g(a1), g(e1), g(a2), g(e2), g(nr1)
+    in1 = (idx >= a1e) & (idx < e1e)
+    in2 = (idx >= a2e) & (idx < e2e)
+    slot = jnp.where(in1, idx - a1e, nr1e * rlh + (idx - a2e))
+    within = jnp.where(
+        in1, slot < nr1e * rlh,
+        in2 & (slot < rpc * rlh))
+    covered = matched & (in1 | in2) & within & mask
+    rel = q * (rpc * rlh) + slot
+    # Sentinel spec.window on uncovered/invalid slots: the kernel's
+    # one-hot compare (iota < window) never matches it, so those edges
+    # contribute exact zeros without any separate mask pass.
+    rel = jnp.where(covered, rel, spec.window).astype(jnp.int32)
+    edge_overflow = jnp.any(mask & ~covered)
+    return rel, edge_overflow
+
+
+def edge_rel(blocks: CellBlocks, idx, mask, pos_s, box_diag):
+    """Window-relative neighbor positions for a sorted-space neighbor
+    matrix (``idx``/``mask`` [n_pad, K] built on the sorted positions
+    ``pos_s`` [n_pad, 3]).  Returns (rel [n_pad, K], overflow)."""
+    return _edge_rel_impl(
+        (blocks.run_starts, blocks.nr1, blocks.a1, blocks.a2,
+         blocks.e1, blocks.e2),
+        idx, mask, pos_s, box_diag, blocks.spec)
+
+
+def window_rows_ref(blocks: CellBlocks, feats_s: jnp.ndarray, b: int):
+    """Test oracle: materialize block ``b``'s window [NR·RLH, C] rows."""
+    rs = blocks.run_starts[b]
+    return jnp.concatenate(
+        [jax.lax.dynamic_slice_in_dim(feats_s, rs[r], blocks.spec.rlh, 0)
+         for r in range(blocks.spec.nr)], axis=0)
