@@ -1,0 +1,141 @@
+"""End-to-end blocked-MP tier: TensorNet/TensorNet2 energies + forces in
+sorted space vs the packed-gather path (interpret mode on CPU).
+
+The blocked kernels pass the gathered features through bf16 once
+(storage-tier contract), so parity tolerance is ~1e-2 relative.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from torchmdnet_tpu.models.model import create_model
+from torchmdnet_tpu.ops.cell_blocks import (
+    BlockedMP,
+    edge_rel,
+    permute_rows,
+    plan_cell_blocks,
+    tune_cell_block_spec,
+)
+from torchmdnet_tpu.ops.neighbors import build_neighbor_matrix
+
+
+def _system(n=400, density=0.08, seed=0):
+    rng = np.random.RandomState(seed)
+    L = (n / density) ** (1.0 / 3.0)
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    z = rng.choice([1, 6, 8], n).astype(np.int32)
+    box = np.diag([L, L, L]).astype(np.float32)
+    return z, pos, box, L
+
+
+def _args(model, cutoff, k):
+    a = dict(
+        model=model, embedding_dimension=32, num_layers=2, num_rbf=8,
+        rbf_type="expnorm", trainable_rbf=False, activation="silu",
+        cutoff_lower=0.0, cutoff_upper=cutoff, max_z=100,
+        max_num_neighbors=k, derivative=True, prior_model=None,
+        output_model="Scalar", reduce_op="sum", precision=32,
+        equivariance_invariance_group="O(3)", atom_filter=-1,
+    )
+    if model == "tensornet2":
+        a.update(q_dim=4)
+    return a
+
+
+@pytest.mark.parametrize("model", ["tensornet", "tensornet2"])
+def test_blocked_tier_matches_packed_path(model):
+    cutoff, k = 3.2, 48
+    z, pos, box, L = _system()
+    n = len(z)
+    batch = jnp.zeros((n,), jnp.int32)
+    zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+    q = jnp.zeros((1,), jnp.float32) if model == "tensornet2" else None
+
+    pot = create_model(_args(model, cutoff, k))
+    variables = pot.init(jax.random.PRNGKey(0), zj, pj, batch, num_mols=1,
+                         box=bj, q=q)
+
+    # reference: packed path, original order, brute list
+    nbr = build_neighbor_matrix(
+        pj, batch, strategy="brute", k_max=k, cutoff_upper=cutoff,
+        loop=True, box=bj)
+    assert not bool(nbr.overflow)
+
+    def e_ref(p):
+        return jnp.sum(pot.energy(variables, zj, p, batch, num_mols=1,
+                                  box=bj, q=q, nbr=nbr))
+
+    e0, f0 = jax.value_and_grad(e_ref)(pj)
+
+    # blocked: sorted space
+    bd = jnp.diag(bj)
+    spec = tune_cell_block_spec(pj, bd, cutoff, cap=8)
+    pot_b = create_model(dict(_args(model, cutoff, k),
+                              cell_block_spec=spec))
+    blocks = plan_cell_blocks(pj, bd, spec)
+    assert not bool(blocks.overflow)
+    perm_safe = jnp.minimum(blocks.perm, n - 1)
+    am_s = blocks.mask_rows
+    pos_s0 = jnp.where(am_s[:, None], pj[perm_safe], 0.0)
+    zs = jnp.where(am_s, zj[perm_safe], 0)
+    batchs = jnp.where(am_s, batch[perm_safe], 1)
+    nbr_s = build_neighbor_matrix(
+        pos_s0, batchs, strategy="brute", k_max=k, cutoff_upper=cutoff,
+        loop=True, box=bj, atom_mask=am_s)
+    assert not bool(nbr_s.overflow)
+    rel, eov = edge_rel(blocks, nbr_s.idx, nbr_s.mask, pos_s0, bd)
+    assert not bool(eov)
+
+    def e_blk(p):
+        p_s = permute_rows(p, perm_safe, am_s, blocks.inv_perm)
+        return jnp.sum(pot_b.energy(
+            variables, zs, p_s, batchs, num_mols=1, box=bj, q=q, nbr=nbr_s,
+            blocked=BlockedMP(rel, blocks.run_starts)))
+
+    e1, f1 = jax.value_and_grad(e_blk)(pj)
+
+    e0, e1 = float(e0), float(e1)
+    assert abs(e1 - e0) / (abs(e0) + 1e-6) < 1e-2
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    scale = np.abs(f0).max() + 1e-30
+    assert np.abs(f1 - f0).max() / scale < 2e-2
+
+
+def test_md_blocked_smoke():
+    """make_md_step with cell_block_spec: a few steps run, forces at t=0
+    match the non-blocked integrator, no overflow."""
+    from torchmdnet_tpu.md.integrators import make_md_step
+
+    cutoff, k = 3.2, 48
+    z, pos, box, L = _system(n=300)
+    n = len(z)
+    batch = jnp.zeros((n,), jnp.int32)
+    zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+    masses = np.full((n,), 12.0)
+
+    args = _args("tensornet", cutoff, k)
+    pot = create_model(args)
+    variables = pot.init(jax.random.PRNGKey(0), zj, pj, batch, num_mols=1,
+                         box=bj)
+
+    kw = dict(dt=0.2, num_mols=1, box=bj, rebuild_every=3, skin=0.5,
+              temperature=None)
+    init_a, chunk_a, _ = make_md_step(pot, variables, zj, batch, masses,
+                                      **kw)
+    spec = tune_cell_block_spec(pj, jnp.diag(bj), cutoff + 0.5, cap=8)
+    pot_b = create_model(dict(args, cell_block_spec=spec))
+    init_b, chunk_b, _ = make_md_step(pot_b, variables, zj, batch, masses,
+                                      cell_block_spec=spec, **kw)
+
+    sa = init_a(pos, seed=1)
+    sb = init_b(pos, seed=1)
+    assert not bool(sb.overflow)
+    fa, fb = np.asarray(sa.force), np.asarray(sb.force)
+    scale = np.abs(fa).max() + 1e-30
+    assert np.abs(fb - fa).max() / scale < 2e-2
+
+    sb = chunk_b(sb)
+    assert not bool(sb.overflow)
+    assert np.isfinite(np.asarray(sb.pos)).all()

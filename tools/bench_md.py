@@ -13,7 +13,8 @@ MD_TAB (Chebyshev terms for tensornet, 128), MD_REBUILD (25), MD_REMAT (1),
 MD_EMB (fused radial-embedding kernel, 0), MD_MODEL (tensornet2),
 MD_PALLAS (fused edge MLP for tensornet2, 1), MD_QDIM (16),
 MD_COULOMB_RC (10.0; 0 disables the Coulomb head → plain Scalar),
-MD_SYS (gas|lattice), MD_PREC (32).
+MD_SYS (gas|lattice), MD_PREC (32), MD_BLOCKED (cell-blocked Pallas MP
+tier, 0), MD_CAP (rows/block for the blocked tier, 8).
 Numbers recorded in docs/PERF.md.
 """
 import os, sys, time
@@ -107,6 +108,19 @@ else:
             coulomb_cell_stencil=_cs,
             coulomb_cell_capacity=_cc,
         )
+BLOCKED = os.environ.get("MD_BLOCKED", "0") == "1"
+cell_block_spec = None
+if BLOCKED:
+    from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
+
+    # tune for the skin-padded cutoff (the rebuild list is built at
+    # cutoff+skin and every listed edge must be window-covered)
+    cell_block_spec = tune_cell_block_spec(
+        jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0,
+        cap=int(os.environ.get("MD_CAP", 8)))
+    print(f"blocked spec: {cell_block_spec} window="
+          f"{cell_block_spec.window}", flush=True)
+    args.update(cell_block_spec=cell_block_spec)
 pot = create_model(args)
 zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
 batch = jnp.zeros((N,), jnp.int32)
@@ -127,7 +141,7 @@ init_state, chunk, energy_fn = make_md_step(
     pot, variables, zj, batch, masses,
     dt=float(os.environ.get("MD_DT", 0.05)), num_mols=1, box=bj, q=q,
     rebuild_every=REBUILD, skin=1.0, temperature=300.0,
-    neighbor_strategy="cell")
+    neighbor_strategy="cell", cell_block_spec=cell_block_spec)
 t0 = time.time()
 state = init_state(pos, seed=1)
 jax.block_until_ready(state.pos)

@@ -42,6 +42,17 @@ class MDState(NamedTuple):
     # no cutoff-Coulomb output module)
     cnbr_idx: jnp.ndarray = None
     cnbr_mask: jnp.ndarray = None
+    # cell-blocked Pallas MP tier (ops/cell_blocks.py): sorted-space
+    # permutation + window structure, refreshed at every rebuild.  The
+    # neighbor lists above are then in *sorted* row space; pos/vel/force
+    # stay in the original atom order.
+    perm: jnp.ndarray = None       # [n_pad] sorted row -> original (safe)
+    inv_perm: jnp.ndarray = None   # [N] original -> sorted row
+    mask_rows: jnp.ndarray = None  # [n_pad] real-atom rows
+    rel: jnp.ndarray = None        # [n_pad, K] window-relative slots
+    run_starts: jnp.ndarray = None  # [n_blocks, NR]
+    zs: jnp.ndarray = None         # [n_pad] sorted atomic numbers
+    batchs: jnp.ndarray = None     # [n_pad] sorted segment ids
 
 
 def maxwell_boltzmann_velocities(key, masses, temperature, shape_like):
@@ -72,9 +83,21 @@ def make_md_step(
     gamma: float = 0.01,
     neighbor_strategy: str = "brute",
     cells_per_dim=None,
+    cell_block_spec=None,
 ):
     """Build ``(init_state, chunk)``: ``chunk`` advances ``rebuild_every``
-    jitted steps with one neighbor rebuild."""
+    jitted steps with one neighbor rebuild.
+
+    ``cell_block_spec`` (a :class:`~torchmdnet_tpu.ops.cell_blocks.
+    CellBlockSpec`, e.g. from ``tune_cell_block_spec``) switches message
+    passing to the cell-blocked Pallas tier: at every rebuild atoms are
+    sorted into cell-blocked order and the model runs in sorted space (the
+    integrator state stays in the original order; forces come back through
+    the inverse permutation).  Requires an orthogonal ``box``; the returned
+    ``energy`` closure then has signature ``(pos, state)``.  Caveat:
+    padding atoms (``batch >= num_mols``) are sorted by their (co-located)
+    positions, so keep them few or spread out — a dense ghost pile inflates
+    one column's window."""
     rep = potential.module.representation_model
     cutoff = float(rep.cutoff_upper)
     k_cap = int(k_max if k_max is not None else rep.max_num_neighbors)
@@ -169,6 +192,25 @@ def make_md_step(
         def build_cnbr(pos):
             return None
 
+    use_blocked = cell_block_spec is not None
+    if use_blocked:
+        from torchmdnet_tpu.ops.cell_blocks import (
+            BlockedMP,
+            edge_rel,
+            permute_rows,
+            plan_cell_blocks,
+        )
+
+        if box is None:
+            raise ValueError("cell_block_spec requires an orthogonal box")
+        _bx = jnp.asarray(box)
+        if _bx.ndim == 3:
+            _bx = _bx[0]
+        bd = jnp.diag(_bx)
+        n_atoms = int(jnp.asarray(batch).shape[0])
+        z_arr = jnp.asarray(z)
+        batch_arr = jnp.asarray(batch)
+
     def energy(pos, nbr_idx, nbr_mask, nbr_rev, cnbr_idx=None,
                cnbr_mask=None):
         nbr = NeighborMatrix(
@@ -193,7 +235,40 @@ def make_md_step(
         )
         return jnp.sum(y)
 
-    grad_fn = jax.grad(energy, argnums=0)
+    if use_blocked:
+        def energy_state(pos, st: MDState):
+            nbr = NeighborMatrix(
+                st.nbr_idx,
+                st.nbr_mask,
+                jnp.sum(st.nbr_mask, axis=1).astype(jnp.int32),
+                jnp.array(False),
+                st.nbr_rev,
+            )
+            coulomb_nbr = None
+            if has_coulomb_list:
+                coulomb_nbr = NeighborMatrix(
+                    st.cnbr_idx,
+                    st.cnbr_mask,
+                    jnp.sum(st.cnbr_mask, axis=1).astype(jnp.int32),
+                    jnp.array(False),
+                    None,
+                )
+            pos_s = permute_rows(pos, st.perm, st.mask_rows, st.inv_perm)
+            y = potential.energy(
+                variables, st.zs, pos_s, st.batchs, num_mols=num_mols,
+                box=box, q=q, nbr=nbr, coulomb_nbr=coulomb_nbr,
+                blocked=BlockedMP(st.rel, st.run_starts),
+            )
+            return jnp.sum(y)
+    else:
+        def energy_state(pos, st: MDState):
+            return energy(
+                pos, st.nbr_idx, st.nbr_mask, st.nbr_rev,
+                st.cnbr_idx if has_coulomb_list else None,
+                st.cnbr_mask if has_coulomb_list else None,
+            )
+
+    grad_state = jax.grad(energy_state, argnums=0)
 
     def vv_step(state: MDState) -> MDState:
         # Classic velocity Verlet with the force CARRIED in the state —
@@ -203,9 +278,7 @@ def make_md_step(
         # skin-padded old and new index sets give identical forces).
         vel_half = state.vel + 0.5 * dt * state.force * inv_m * ACC_FACTOR
         pos_new = state.pos + dt * vel_half
-        f2 = -grad_fn(pos_new, state.nbr_idx, state.nbr_mask, state.nbr_rev,
-                      state.cnbr_idx if has_coulomb_list else None,
-                      state.cnbr_mask if has_coulomb_list else None)
+        f2 = -grad_state(pos_new, state)
         vel_new = vel_half + 0.5 * dt * f2 * inv_m * ACC_FACTOR
         if temperature is not None:
             key, sub = jax.random.split(state.key)
@@ -218,10 +291,9 @@ def make_md_step(
             )
         else:
             key = state.key
-        return MDState(
-            pos_new, vel_new, f2, state.nbr_idx, state.nbr_mask,
-            state.nbr_rev, key, state.step + 1, state.overflow,
-            state.cnbr_idx, state.cnbr_mask,
+        return state._replace(
+            pos=pos_new, vel=vel_new, force=f2, key=key,
+            step=state.step + 1,
         )
 
     # Rebuild and integration run as SEPARATE dispatches: one fused jit
@@ -231,6 +303,40 @@ def make_md_step(
     # steps).
     @jax.jit
     def _rebuild(state: MDState) -> MDState:
+        if use_blocked:
+            blocks = plan_cell_blocks(state.pos, bd, cell_block_spec)
+            perm_safe = jnp.minimum(blocks.perm, n_atoms - 1)
+            batch_perm = batch_arr[perm_safe]
+            am_s = blocks.mask_rows & (batch_perm < num_mols)
+            pos_s = jnp.where(am_s[:, None], state.pos[perm_safe], 0.0)
+            zs = jnp.where(am_s, z_arr[perm_safe], 0)
+            batchs = jnp.where(am_s, batch_perm, num_mols)
+            nbr = build_neighbor_matrix(
+                pos_s, batchs, atom_mask=am_s, **nbr_kwargs)
+            rel, eov = edge_rel(blocks, nbr.idx, nbr.mask, pos_s, bd)
+            state = state._replace(
+                nbr_idx=nbr.idx,
+                nbr_mask=nbr.mask,
+                nbr_rev=nbr.rev_slot,
+                overflow=(state.overflow | nbr.overflow | blocks.overflow
+                          | eov),
+                perm=perm_safe,
+                inv_perm=blocks.inv_perm,
+                mask_rows=am_s,
+                rel=rel,
+                run_starts=blocks.run_starts,
+                zs=zs,
+                batchs=batchs,
+            )
+            if has_coulomb_list:
+                cnbr = build_neighbor_matrix(
+                    pos_s, batchs, atom_mask=am_s, **ckwargs)
+                state = state._replace(
+                    cnbr_idx=cnbr.idx,
+                    cnbr_mask=cnbr.mask,
+                    overflow=state.overflow | cnbr.overflow,
+                )
+            return state
         nbr = build_nbr(state.pos)
         state = state._replace(
             nbr_idx=nbr.idx,
@@ -256,14 +362,10 @@ def make_md_step(
     def chunk(state: MDState) -> MDState:
         return _steps(_rebuild(state))
 
-    _init_force = jax.jit(
-        lambda p, i, m, r, ci, cm: -grad_fn(p, i, m, r, ci, cm)
-    )
+    _init_force = jax.jit(lambda p, st: -grad_state(p, st))
 
     def init_state(pos, vel=None, seed=0):
         pos = jnp.asarray(pos)
-        nbr = build_nbr(pos)
-        cnbr = build_cnbr(pos) if has_coulomb_list else None
         key = jax.random.PRNGKey(seed)
         if vel is None:
             if temperature is not None:
@@ -273,24 +375,23 @@ def make_md_step(
                 )
             else:
                 vel = jnp.zeros_like(pos)
-        ci = cnbr.idx if cnbr is not None else None
-        cm = cnbr.mask if cnbr is not None else None
-        f0 = _init_force(pos, nbr.idx, nbr.mask, nbr.rev_slot, ci, cm)
-        overflow = nbr.overflow
-        if cnbr is not None:
-            overflow = overflow | cnbr.overflow
-        return MDState(
-            pos, jnp.asarray(vel), f0, nbr.idx, nbr.mask, nbr.rev_slot, key,
-            jnp.zeros((), jnp.int32), overflow, ci, cm,
+        st = MDState(
+            pos, jnp.asarray(vel), jnp.zeros_like(pos), None, None, None,
+            key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
         )
+        st = _rebuild(st)
+        return st._replace(force=_init_force(pos, st))
 
+    if use_blocked:
+        return init_state, chunk, jax.jit(energy_state)
     return init_state, chunk, jax.jit(energy)
 
 
 def run_md(potential, variables, z, pos, masses, *, n_steps, dt=1.0,
            batch=None, num_mols=1, box=None, q=None, temperature=None,
            gamma=0.01, rebuild_every=25, skin=1.0, seed=0,
-           neighbor_strategy="brute", cells_per_dim=None):
+           neighbor_strategy="brute", cells_per_dim=None,
+           cell_block_spec=None):
     """Run ``n_steps`` of MD fully on device; returns the final
     :class:`MDState` (check ``state.overflow``!).
 
@@ -307,6 +408,7 @@ def run_md(potential, variables, z, pos, masses, *, n_steps, dt=1.0,
         rebuild_every=rebuild_every, skin=skin,
         temperature=temperature, gamma=gamma,
         neighbor_strategy=neighbor_strategy, cells_per_dim=cells_per_dim,
+        cell_block_spec=cell_block_spec,
     )
     state = init_state(pos, seed=seed)
     for _ in range(max(n_steps // rebuild_every, 1)):

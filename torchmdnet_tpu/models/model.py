@@ -54,11 +54,18 @@ class TorchMDNet(nn.Module):
         extra_args: Optional[Dict[str, Any]] = None,
         nbr=None,
         coulomb_nbr=None,
+        blocked=None,
     ):
         atom_mask = batch < num_mols
+        rep_kwargs = {}
+        if blocked is not None:
+            # cell-blocked Pallas MP tier (TensorNet/TensorNet2 only);
+            # passed through only when active so the other representation
+            # models keep their uniform signature
+            rep_kwargs["blocked"] = blocked
         x, v = self.representation_model(
             z, pos, batch, box=box, q=q, s=s, atom_mask=atom_mask,
-            num_mols=num_mols, nbr=nbr,
+            num_mols=num_mols, nbr=nbr, **rep_kwargs,
         )
         # the head (output MLP, priors, reductions) always runs in ≥f32,
         # even when the representation computes in bf16
@@ -114,10 +121,12 @@ class Potential:
         )
 
     def energy(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
-               s=None, extra_args=None, nbr=None, coulomb_nbr=None):
+               s=None, extra_args=None, nbr=None, coulomb_nbr=None,
+               blocked=None):
         return self.module.apply(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q, s=s,
             extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
+            blocked=blocked,
         )
 
     def apply(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
@@ -225,6 +234,7 @@ def _make_representation(args: dict, rbf_initial=None):
             pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
             tabulated_edge_mlp=int(args.get("tabulated_edge_mlp", 0)),
             pallas_embedding=bool(args.get("pallas_embedding", False)),
+            cell_block_spec=args.get("cell_block_spec"),
             **shared,
         ), False
     if model_name == "tensornet2":
@@ -237,6 +247,7 @@ def _make_representation(args: dict, rbf_initial=None):
             remat=bool(args.get("remat", False)),
             pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
             pallas_embedding=bool(args.get("pallas_embedding", False)),
+            cell_block_spec=args.get("cell_block_spec"),
             **shared,
         ), False
     if model_name == "equivariant-transformer":

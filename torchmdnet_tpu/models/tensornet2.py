@@ -96,10 +96,11 @@ class Interaction2(nn.Module):
     equivariance_invariance_group: str = "O(3)"
     dtype: Optional[jnp.dtype] = None
     pallas_edge_mlp: bool = False  # fused VMEM-resident edge MLP (f32/silu)
+    cell_block_spec: Optional[tuple] = None  # CellBlockSpec (static)
 
     @nn.compact
     def __call__(self, X: Irreps, charges, nbr: NeighborMatrix, edge_weight,
-                 edge_attr, rev_slot=None):
+                 edge_attr, rev_slot=None, blocked=None):
         from torchmdnet_tpu.models.common import Linear
 
         if rev_slot is None:
@@ -173,7 +174,9 @@ class Interaction2(nn.Module):
             X, ["linears_tensor_0", "linears_tensor_1", "linears_tensor_2"],
             dtype=self.dtype,
         )
-        M = edge_message_passing(attr, Y, nbr, rev_slot, attr_rev=attr_rev)
+        M = edge_message_passing(attr, Y, nbr, rev_slot, attr_rev=attr_rev,
+                                 blocked=blocked,
+                                 block_spec=self.cell_block_spec)
 
         Yf = compose_tensor(Y)
         Mf = compose_tensor(M)
@@ -221,6 +224,7 @@ class TensorNet2(nn.Module):
     remat: bool = False  # selective remat: save neighbor sums, recompute rest
     pallas_edge_mlp: bool = False  # fused Pallas edge MLP (f32/silu only)
     pallas_embedding: bool = False  # fused radial-embedding kernel (f32)
+    cell_block_spec: Optional[tuple] = None  # blocked MP tier (static spec)
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
         kwargs = {}
@@ -252,6 +256,7 @@ class TensorNet2(nn.Module):
         atom_mask=None,
         nbr: Optional[NeighborMatrix] = None,
         num_mols: Optional[int] = None,
+        blocked=None,
     ):
         from torchmdnet_tpu.models.common import Linear
 
@@ -322,7 +327,8 @@ class TensorNet2(nn.Module):
                 name=f"layers_{i}",
                 dtype=self.dtype,
                 pallas_edge_mlp=self.pallas_edge_mlp,
-            )(X, charges, nbr, dist, edge_attr, rev_slot)
+                cell_block_spec=self.cell_block_spec,
+            )(X, charges, nbr, dist, edge_attr, rev_slot, blocked=blocked)
             charges = ChargePredict(
                 hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
                 name=f"charge_predicts_{i}",

@@ -80,16 +80,21 @@ def make_cell_block_spec(
     cutoff: float,
     n_atoms: int,
     *,
-    cap: int = 16,
-    rpc: int = 2,
-    rlh: Optional[int] = None,
+    cap: int = 8,
+    rpc: Optional[int] = None,
+    rlh: int = 16,
     zf_width: float = 2.0,
+    headroom: float = 1.35,
 ) -> CellBlockSpec:
     """Pick static knobs from concrete geometry.
 
-    ``rlh`` defaults to a density estimate with ~60% headroom rounded up
-    to a sublane multiple; the rebuild overflow flag catches
+    ``rlh`` must be a multiple of 16 (Mosaic HBM-slice tile alignment).
+    ``rpc`` defaults to a density estimate with ``headroom`` slack plus
+    piece-alignment margin; the rebuild overflow flag catches
     underestimates (inhomogeneous systems may need a larger value).
+    Window FLOPs in the MP kernel scale with ``window = 9·rpc·rlh`` —
+    whether runs are used or not — so tight rpc·rlh matters more than
+    generous overflow margins.
     """
     bd = np.asarray(box_diag, dtype=np.float64)
     nx = max(int(bd[0] // cutoff), 1)
@@ -98,15 +103,81 @@ def make_cell_block_spec(
     zbin = bd[2] / nzf
     cut_bins = int(np.ceil(cutoff / zbin)) + 1
     ncols = nx * ny
-    n_pad = int(np.ceil((n_atoms + ncols * cap) / cap) * cap)
-    if rlh is None:
+    rlh = max(int(np.ceil(rlh / 16) * 16), 16)
+    npm = int(np.lcm(cap, 16))  # n_pad: blocks AND 16-row slice clamps
+    n_pad = int(np.ceil((n_atoms + ncols * cap) / npm) * npm)
+    if rpc is None:
         rho_col = n_atoms / ncols / bd[2]          # atoms per Å per column
         span = cap / max(rho_col, 1e-9)            # block z-extent in Å
-        z_ext = 2.0 * cutoff + span + 2.0 * zbin
-        rows = z_ext * rho_col * 1.6 / rpc
-        rlh = max(int(np.ceil(rows / 8) * 8), 8)
+        z_ext = 2.0 * (cut_bins + 1) * zbin + span
+        rows = z_ext * rho_col * headroom + 2 * 16  # + piece-align margin
+        rpc = max(int(np.ceil(rows / rlh)), 2)
     return CellBlockSpec(nx=nx, ny=ny, nzf=nzf, cap=cap, rpc=rpc,
                          rlh=rlh, n_pad=n_pad, cut_bins=cut_bins)
+
+
+class BlockedMP(NamedTuple):
+    """Per-rebuild dynamic inputs of the blocked MP kernels (the static
+    :class:`CellBlockSpec` travels separately — as a module attribute /
+    closure — so jit never traces it)."""
+
+    rel: jnp.ndarray         # [n_pad, K] window-relative neighbor slots
+    run_starts: jnp.ndarray  # [n_blocks, NR] window run start rows
+
+
+@jax.custom_vjp
+def permute_rows(x, perm_safe, mask_rows, inv_perm):
+    """Sorted-space scatter-free permutation: ``out[r] = x[perm[r]]`` for
+    real rows, 0 for ghosts.  The VJP is the inverse *gather* (``g[inv_perm]``)
+    rather than the scatter XLA would generate for an indexed read — exact
+    because ``perm`` restricted to real rows is a bijection."""
+    out = x[perm_safe]
+    return jnp.where(mask_rows[(...,) + (None,) * (x.ndim - 1)], out, 0)
+
+
+def _permute_rows_fwd(x, perm_safe, mask_rows, inv_perm):
+    return permute_rows(x, perm_safe, mask_rows, inv_perm), inv_perm
+
+
+def _permute_rows_bwd(inv_perm, g):
+    return g[inv_perm], None, None, None
+
+
+permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+def tune_cell_block_spec(
+    pos,
+    box_diag,
+    cutoff: float,
+    *,
+    cap: int = 8,
+    rlh: int = 16,
+    zf_width: float = 2.0,
+    slack_runs: int = 1,
+) -> CellBlockSpec:
+    """Data-driven spec: plan once with a generous run budget, read off the
+    runs actually needed, and return a spec with ``rpc = max_used + slack``.
+
+    Window FLOPs in the MP kernel scale with the *static* window size
+    9·rpc·rlh whether runs are used or not, so the density-estimate rpc of
+    :func:`make_cell_block_spec` (sized to never overflow) costs real
+    milliseconds; at MD setup the geometry is concrete and the exact
+    requirement is one cheap plan away.  ``slack_runs`` absorbs atom motion
+    between spec refreshes (the rebuild overflow flag still guards it).
+    """
+    n_atoms = pos.shape[0]
+    probe = make_cell_block_spec(
+        box_diag, cutoff, n_atoms, cap=cap, rlh=rlh, zf_width=zf_width,
+        headroom=2.5,
+    )
+    blocks = plan_cell_blocks(jnp.asarray(pos), jnp.asarray(box_diag), probe)
+    if bool(blocks.overflow):
+        raise ValueError(
+            "tune_cell_block_spec: probe spec overflowed; raise headroom")
+    nr2 = (blocks.e2 - blocks.a2 + probe.rlh - 1) // probe.rlh
+    used = int(jax.device_get(jnp.max(blocks.nr1 + nr2)))
+    return probe._replace(rpc=max(used + slack_runs, 2))
 
 
 def _column_bins(pos, box_diag, spec: CellBlockSpec):
@@ -223,6 +294,15 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     a2 = jnp.where(empty, base, a2)
     e2 = jnp.where(empty, base, e2)
 
+    # Mosaic can only slice HBM at tile-aligned (16-row for bf16) offsets,
+    # and it needs a static *proof* — so piece starts are floored to
+    # multiples of 16 here (the extra sub-piece rows are harmless junk
+    # coverage) and the kernel receives run starts in units of 16 rows
+    # (start = rs·16).  Only align non-empty pieces: flooring a degenerate
+    # piece would fabricate a spurious run.
+    a1 = jnp.where(e1 > a1, (a1 // 16) * 16, a1)
+    a2 = jnp.where(e2 > a2, (a2 // 16) * 16, a2)
+
     # When the two pieces sit close in row space (wrapped windows in
     # short columns), covering the merged interval [a2, e1) — junk rows
     # in the gap are harmless — can need fewer runs than piece-aligned
@@ -251,6 +331,9 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
         a2[:, :, None] + (j - nr1e) * rlh,
     )
     starts = jnp.clip(starts, 0, max(n_pad - rlh, 0))
+    # unused runs (j ≥ nr1+nr2) may start at unaligned piece remnants;
+    # floor them too — they DMA junk that nothing addresses.
+    starts = (starts // 16) * 16
     run_starts = starts.reshape(n_blocks, spec.nr).astype(jnp.int32)
 
     return (perm, inv_perm, mask_rows, run_starts,

@@ -35,18 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 from torchmdnet_tpu.ops.cell_blocks import CellBlockSpec
 
 
-def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int,
-               rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
-               win, sems):
-    cap, nr, rlh = spec.cap, spec.nr, spec.rlh
-    w = spec.window
-    bk = rel_ref.shape[-1]
-    k = bk // cap
-    b = pl.program_id(0)
-
+def _dma_window(spec: CellBlockSpec, rs_ref, feats_hbm, win, sems):
+    """Fetch this block's window: NR runs of RLH rows, HBM → VMEM.
+    ``rs_ref`` is the block's [1, NR] SMEM row of run starts."""
+    nr, rlh = spec.nr, spec.rlh
     copies = []
     for r in range(nr):
-        start = rs_ref[b, r]
+        # run starts arrive in units of 16 rows: the explicit ·16 is the
+        # divisibility proof Mosaic needs to slice a tiled HBM ref at a
+        # dynamic offset (bf16 tiling is (16, 128)).
+        start = rs_ref[0, 0, r] * 16
         cp = pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, rlh), :],
             win.at[pl.ds(r * rlh, rlh), :],
@@ -57,35 +55,37 @@ def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int,
     for cp in copies:
         cp.wait()
 
+
+def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int,
+               rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
+               win, ot, sems):
+    cap = spec.cap
+    w = spec.window
+    bk = rel_ref.shape[-1]
+    k = bk // cap
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+
+    # One-hot gather matrix, built once per block into a VMEM scratch
+    # (recomputing it per irrep block would re-pay the [W, BK] compare 9×).
     rel = rel_ref[0]                                   # [1, BK] int32
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
-    ot = (iota_w == rel).astype(jnp.bfloat16)          # [W, BK]
-    xj = jax.lax.dot_general(                          # [BK, 9F] f32
-        ot, win[:].astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    ot[:] = (iota_w == rel).astype(jnp.bfloat16)       # [W, BK]
 
+    # Irrep-blocked: the full [BK, 9F] gathered/product tensors would not
+    # fit VMEM at real window sizes (20 MB at the 25k spec) — one F-wide
+    # block at a time keeps peak VMEM ~an order of magnitude lower.
     attr = attr_ref[0]                                 # [BK, 3F] f32
-    w0 = attr[:, :f]
-    w1 = attr[:, f:2 * f]
-    w2 = attr[:, 2 * f:]
-    blocks = [xj[:, :f] * w0]
-    for d in range(3):
-        blocks.append(xj[:, (1 + d) * f:(2 + d) * f] * w1)
-    for c in range(5):
-        blocks.append(xj[:, (4 + c) * f:(5 + c) * f] * w2)
-    prod = jnp.concatenate(blocks, axis=-1)            # [BK, 9F] f32
-
-    # per-row segment sum over the K slots via a 0/1 matmul (rows are
-    # contiguous groups of K edges; bf16 is exact on 0/1 but prod must be
-    # rounded — the f32 path would need a 3-pass MXU dot).  The reshape
-    # [BK, 9F] -> [CAP, K, 9F] + sum(axis=1) keeps f32 but needs a
-    # sublane-splitting shape cast; prefer it when Mosaic accepts it.
-    iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 0)
-    iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 1)
-    summ = (iota_e // k == iota_c).astype(jnp.bfloat16)
-    out_ref[0] = jax.lax.dot_general(
-        summ, prod.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    for d in range(9):
+        widx = 0 if d == 0 else (1 if d < 4 else 2)
+        xj_d = jax.lax.dot_general(                    # [BK, F] f32
+            ot[:], win[:, d * f:(d + 1) * f],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        prod = xj_d * attr[:, widx * f:(widx + 1) * f]
+        # per-row segment sum over the K slots: rows are contiguous groups
+        # of K edges, so a sublane-splitting reshape + sum keeps f32.
+        out_ref[0, :, d * f:(d + 1) * f] = jnp.sum(
+            prod.reshape(cap, k, f), axis=1)
 
 
 def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
@@ -107,19 +107,24 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
     attr_r = attr3f.reshape(n_blocks, bk, c3)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, bk), lambda i, rs: (i, 0, 0),
+            # run starts ride in SMEM one block-row at a time — a whole-
+            # array scalar prefetch overflows the 1 MB SMEM at 25k blocks
+            pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, c3), lambda i, rs: (i, 0, 0),
+            pl.BlockSpec((1, bk, c3), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, cap, c9), lambda i, rs: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((spec.window, c9), jnp.float32),
+            pltpu.VMEM((spec.window, c9), jnp.bfloat16),
+            pltpu.VMEM((spec.window, cap * k), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((spec.nr,)),
         ],
     )
@@ -128,57 +133,50 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         interpret=interpret,
-    )(run_starts, rel_r, attr_r, feats9)
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 16,
+      rel_r, attr_r, feats9.astype(jnp.bfloat16))
     return out.reshape(n_pad, c9)
 
 
 def _dattr_kernel(spec: CellBlockSpec, f: int,
-                  rs_ref, rel_ref, g_ref, feats_hbm, out_ref, win, sems):
+                  rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
+                  win, ot, sems):
     """dattr[e, c] = Σ_{b∈irrep block} g[row(e), b·F+c] · xj[e, b·F+c] —
     the fold of the output cotangent back over the irrep blocks
     (blocked analogue of message_passing._pns_dattr)."""
-    cap, nr, rlh = spec.cap, spec.nr, spec.rlh
+    cap = spec.cap
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    b = pl.program_id(0)
-
-    copies = []
-    for r in range(nr):
-        start = rs_ref[b, r]
-        cp = pltpu.make_async_copy(
-            feats_hbm.at[pl.ds(start, rlh), :],
-            win.at[pl.ds(r * rlh, rlh), :],
-            sems.at[r],
-        )
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
 
     rel = rel_ref[0]                                   # [1, BK]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
-    ot = (iota_w == rel).astype(jnp.bfloat16)
-    xj = jax.lax.dot_general(                          # [BK, 9F] f32
-        ot, win[:].astype(jnp.bfloat16), (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+    ot[:] = (iota_w == rel).astype(jnp.bfloat16)
 
+    g_b = g_ref[0]                                     # [CAP, 9F] f32
     # per-edge row cotangent: repeat each of the CAP rows K times via a
-    # 0/1 matmul (one bf16 pass on g — same storage-tier contract)
-    g_b = g_ref[0]                                     # [CAP, 9F]
+    # 0/1 matmul (a broadcast+collapse reshape lowers to an unsupported
+    # Mosaic gather; one bf16 pass on g is within the storage-tier
+    # contract).  Built once, reused for all 9 irrep blocks.
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (bk, cap), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, cap), 1)
     rep = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [BK, CAP]
-    g_e = jax.lax.dot_general(
-        rep, g_b.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)            # [BK, 9F]
-
-    prod = g_e * xj
-    d0 = prod[:, :f]
-    d1 = prod[:, f:2 * f] + prod[:, 2 * f:3 * f] + prod[:, 3 * f:4 * f]
-    d2 = (prod[:, 4 * f:5 * f] + prod[:, 5 * f:6 * f]
-          + prod[:, 6 * f:7 * f] + prod[:, 7 * f:8 * f] + prod[:, 8 * f:])
-    out_ref[0] = jnp.concatenate([d0, d1, d2], axis=-1)
+    for d in range(9):
+        widx = 0 if d == 0 else (1 if d < 4 else 2)
+        xj_d = jax.lax.dot_general(                    # [BK, F] f32
+            ot[:], win[:, d * f:(d + 1) * f],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        g_e = jax.lax.dot_general(                     # [BK, F] f32
+            rep, g_b[:, d * f:(d + 1) * f].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        prod = g_e * xj_d
+        if d == 0 or d == 1 or d == 4:
+            out_ref[0, :, widx * f:(widx + 1) * f] = prod
+        else:
+            out_ref[0, :, widx * f:(widx + 1) * f] += prod
 
 
 def blocked_dattr(g9, feats9, rel, run_starts, *,
@@ -196,19 +194,22 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
     g_r = g9.reshape(n_blocks, cap, c9)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, 1, bk), lambda i, rs: (i, 0, 0),
+            pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, c9), lambda i, rs: (i, 0, 0),
+            pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, bk, 3 * f), lambda i, rs: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, bk, 3 * f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((spec.window, c9), jnp.float32),
+            pltpu.VMEM((spec.window, c9), jnp.bfloat16),
+            pltpu.VMEM((spec.window, bk), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((spec.nr,)),
         ],
     )
@@ -217,7 +218,8 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, bk, 3 * f), jnp.float32),
         interpret=interpret,
-    )(run_starts, rel_r, g_r, feats9)
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 16,
+      rel_r, g_r, feats9.astype(jnp.bfloat16))
     return out.reshape(n_pad, k, 3 * f)
 
 
