@@ -164,6 +164,32 @@ def test_cell_wide_stencil_matches_brute(stencil):
     assert not bool(cell.overflow)
 
 
+def test_compaction_lowerings_identical(monkeypatch):
+    """The three large-C compaction lowerings (element scatter, K-pass
+    masked reduction) are bit-identical: same slots, same order."""
+    rng = np.random.RandomState(3)
+    n = 500
+    L = 18.0
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    box = np.diag([L, L, L]).astype(np.float32)
+    # cell_capacity=48 ⇒ C = 27·48 = 1296 > 1024: the large-C branch
+    builds = {}
+    for lowering in ("scatter", "kloop"):
+        monkeypatch.setenv("TMDNET_COMPACT", lowering)
+        builds[lowering] = cell_neighbor_matrix(
+            jnp.asarray(pos), k_max=64, cutoff_upper=4.0,
+            box=jnp.asarray(box), cell_capacity=48,
+        )
+    a, b = builds["scatter"], builds["kloop"]
+    np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))
+    np.testing.assert_array_equal(np.asarray(a.mask), np.asarray(b.mask))
+    np.testing.assert_array_equal(np.asarray(a.rev_slot),
+                                  np.asarray(b.rev_slot))
+    ref = brute_neighbor_matrix(
+        jnp.asarray(pos), k_max=64, cutoff_upper=4.0, box=jnp.asarray(box))
+    assert matrix_pairs(b) == matrix_pairs(ref)
+
+
 def test_pick_cell_grid_covers_cutoff():
     from torchmdnet_tpu.ops.neighbors import pick_cell_grid
 

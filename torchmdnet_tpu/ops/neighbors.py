@@ -36,6 +36,7 @@ kept when ``dist < cutoff_upper`` and (for ``i != j``)
 lower cutoff.
 """
 
+import os
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -399,6 +400,25 @@ def _cell_neighbor_matrix_impl(
         colidx = jnp.where(mask, C - top, 0)
         idx = jnp.take_along_axis(cand_safe, colidx, axis=1).astype(jnp.int32)
         idx = jnp.where(mask, idx, row)
+    elif os.environ.get("TMDNET_COMPACT", "kloop") == "kloop":
+        # Scatter-free compaction: slot k of row n is the unique candidate
+        # with in-row rank k, extracted by K fused compare+select+reduce
+        # passes over [N, C].  The element-granular scatter below lowers to
+        # scalar stores (~158 ms at the 25k/K=96 MD shape, device trace
+        # 2026-08-17); these are plain vectorized VPU passes (~11 ms at the
+        # same shape).  Candidates are packed as idx+1 so the invalid
+        # sentinel 0 is additive-neutral; accumulation is exact (one hit
+        # per (row, rank)).  Built [K, N] (leading-axis stack, one layout
+        # transpose at the end) — a minor-axis stack is a strided
+        # concatenate (see docs/PERF.md tabulated-filter table).
+        pos_in_row = jnp.cumsum(adj, axis=1, dtype=jnp.int32) - 1
+        packed = jnp.where(adj, cand_safe.astype(jnp.int32) + 1, 0)
+        rank = jnp.where(adj, pos_in_row, -1)
+        idx1 = jnp.stack(
+            [jnp.sum(jnp.where(rank == kk, packed, 0), axis=1)
+             for kk in range(k_max)], axis=0).T
+        mask = idx1 > 0
+        idx = jnp.where(mask, idx1 - 1, row)
     else:
         pos_in_row = jnp.cumsum(adj, axis=1, dtype=jnp.int32) - 1
         keep = adj & (pos_in_row < k_max)
