@@ -164,9 +164,14 @@ def test_cell_wide_stencil_matches_brute(stencil):
     assert not bool(cell.overflow)
 
 
-def test_compaction_lowerings_identical(monkeypatch):
-    """The three large-C compaction lowerings (element scatter, K-pass
-    masked reduction) are bit-identical: same slots, same order."""
+def test_compaction_lowerings_identical():
+    """The two large-C compaction lowerings (element scatter, K-pass
+    masked reduction) are bit-identical: same slots, same order.
+
+    ``compact`` is a static jit argname (read from TMDNET_COMPACT outside
+    jit), so the two builds get distinct compile-cache entries — the
+    round-2 env-var version of this test silently hit the jit cache and
+    never exercised the second lowering (ADVICE r2)."""
     rng = np.random.RandomState(3)
     n = 500
     L = 18.0
@@ -175,10 +180,9 @@ def test_compaction_lowerings_identical(monkeypatch):
     # cell_capacity=48 ⇒ C = 27·48 = 1296 > 1024: the large-C branch
     builds = {}
     for lowering in ("scatter", "kloop"):
-        monkeypatch.setenv("TMDNET_COMPACT", lowering)
         builds[lowering] = cell_neighbor_matrix(
             jnp.asarray(pos), k_max=64, cutoff_upper=4.0,
-            box=jnp.asarray(box), cell_capacity=48,
+            box=jnp.asarray(box), cell_capacity=48, compact=lowering,
         )
     a, b = builds["scatter"], builds["kloop"]
     np.testing.assert_array_equal(np.asarray(a.idx), np.asarray(b.idx))

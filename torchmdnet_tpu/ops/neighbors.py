@@ -222,6 +222,7 @@ def cell_neighbor_matrix(
     cell_capacity: int = 64,
     cells_per_dim: Optional[tuple] = None,
     stencil: int = 1,
+    compact: Optional[str] = None,
 ) -> NeighborMatrix:
     """O(N·(2S+1)³·cell_capacity) neighbor matrix via sort-based binning.
 
@@ -260,6 +261,12 @@ def cell_neighbor_matrix(
         )
         cells_per_dim = tuple(int(d) for d in dims)
 
+    # Large-C compaction lowering: read the env knob HERE (outside jit) and
+    # pass it as a static argname so it participates in the jit cache key —
+    # reading it at trace time silently binds the first-trace value per
+    # shape (ADVICE r2).
+    if compact is None:
+        compact = os.environ.get("TMDNET_COMPACT", "kloop")
     return _cell_neighbor_matrix_impl(
         pos,
         batch,
@@ -272,6 +279,7 @@ def cell_neighbor_matrix(
         cell_capacity=cell_capacity,
         cells_per_dim=cells_per_dim,
         stencil=stencil,
+        compact=compact,
     )
 
 
@@ -285,6 +293,7 @@ def cell_neighbor_matrix(
         "cell_capacity",
         "cells_per_dim",
         "stencil",
+        "compact",
     ),
 )
 def _cell_neighbor_matrix_impl(
@@ -300,6 +309,7 @@ def _cell_neighbor_matrix_impl(
     cell_capacity,
     cells_per_dim,
     stencil=1,
+    compact="kloop",
 ):
     n = pos.shape[0]
     pos = jax.lax.stop_gradient(pos)
@@ -400,7 +410,7 @@ def _cell_neighbor_matrix_impl(
         colidx = jnp.where(mask, C - top, 0)
         idx = jnp.take_along_axis(cand_safe, colidx, axis=1).astype(jnp.int32)
         idx = jnp.where(mask, idx, row)
-    elif os.environ.get("TMDNET_COMPACT", "kloop") == "kloop":
+    elif compact == "kloop":
         # Scatter-free compaction: slot k of row n is the unique candidate
         # with in-row rank k, extracted by K fused compare+select+reduce
         # passes over [N, C].  The element-granular scatter below lowers to
@@ -454,6 +464,7 @@ def build_neighbor_matrix(
         kwargs.pop("cell_capacity", None)
         kwargs.pop("cells_per_dim", None)
         kwargs.pop("stencil", None)
+        kwargs.pop("compact", None)
         return brute_neighbor_matrix(pos, batch, **kwargs)
     if strategy == "cell":
         return cell_neighbor_matrix(pos, batch, **kwargs)
