@@ -135,7 +135,142 @@ def main():
             "energy": float(np.asarray(y)[0, 0]),
         },
     }
-    print(json.dumps(result))
+    print(json.dumps(result), flush=True)
+
+
+def bench_northstar():
+    """North-star metric (BASELINE.md config #5): TensorNet2 +
+    ScalarPlusWeightedCoulomb(10 Å) full on-device MD step at 25k atoms —
+    the AceFF-2.0 PBC recipe (reference
+    ``examples/aceff_examples/ase_aceff_PBC.py`` uses coulomb_cutoff=10.0),
+    condensed-matter occupancy (jittered lattice), cell-list rebuild every
+    25 steps with a 1 Å skin, Langevin integrator, everything jitted on one
+    chip (the TPU answer to the reference CUDA-graph MD path,
+    ``calculators.py:150-169``).
+
+    Anchor: the dhfr-scale A100 anchor (~9 ms for TensorNet 2L/128d at
+    2489 atoms) scaled linearly to 25088 atoms ≈ 90.7 ms/step.  The real
+    A100 TensorNet2+Coulomb cost would be higher (charge equilibration +
+    10 Å Coulomb head), so ``vs_baseline`` here is conservative.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
+    # chunk budget measured best at 25k (docs/PERF.md); read at trace time
+    os.environ.setdefault("TMDNET_MP_BUDGET_MB", "512")
+
+    from torchmdnet_tpu.md.integrators import make_md_step
+    from torchmdnet_tpu.models.model import create_model
+    from torchmdnet_tpu.ops.neighbors import pick_cell_grid
+
+    n = int(os.environ.get("BENCH_MD_NATOMS", 25088))
+    anchor_ms = ASSUMED_A100_MS_PER_STEP * n / 2489.0
+    k = 96
+    rebuild = 25
+    coulomb_rc = 10.0
+    rng = np.random.RandomState(0)
+    L = (n / 0.1) ** (1.0 / 3.0)
+    # jittered cubic lattice at liquid density: bounded local occupancy
+    # (a random gas needs K=128 purely from Poisson tails — docs/PERF.md)
+    dims = _near_cubic_dims(n)
+    gx = [np.arange(d) for d in dims]
+    g = (np.stack(np.meshgrid(*gx, indexing="ij"), -1)
+         .reshape(-1, 3)[:n] + 0.5)
+    a = L / np.array(dims, np.float64)
+    pos = (g * a + rng.uniform(-0.3 * a.min(), 0.3 * a.min(), (n, 3))
+           ).astype(np.float32)
+    z = rng.choice([1, 1, 6, 7, 8], n).astype(np.int32)
+    masses = np.where(z == 1, 1.008, 12.011).astype(np.float64)
+    box = np.diag([L, L, L]).astype(np.float32)
+
+    qdim = 16
+    cd, cs, cc = pick_cell_grid([L] * 3, coulomb_rc, n)
+    args = dict(
+        model="tensornet2", embedding_dimension=128, num_layers=2,
+        num_rbf=32, rbf_type="expnorm", trainable_rbf=False,
+        activation="silu", cutoff_lower=0.0, cutoff_upper=4.5, max_z=128,
+        max_num_neighbors=k, derivative=True, prior_model=None,
+        reduce_op="sum", precision=32,
+        equivariance_invariance_group="O(3)", atom_filter=-1,
+        remat=True, pallas_embedding=True, pallas_edge_mlp=True,
+        q_dim=qdim,
+        output_model="ScalarPlusWeightedCoulomb",
+        q_weights=[[1.0] * qdim] * 3,
+        coulomb_cutoff=coulomb_rc,
+        coulomb_neighbor_strategy="cell",
+        coulomb_cells_per_dim=list(cd),
+        coulomb_cell_stencil=cs,
+        coulomb_cell_capacity=cc,
+    )
+    cell_block_spec = None
+    if os.environ.get("BENCH_MD_BLOCKED", "1") == "1":
+        from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
+
+        cell_block_spec = tune_cell_block_spec(
+            jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0, cap=8)
+        args.update(cell_block_spec=cell_block_spec)
+    pot = create_model(args)
+    zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+    batch = jnp.zeros((n,), jnp.int32)
+    q = jnp.zeros((1,), jnp.float32)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda key, z_, p_, b_: pot.init(key, z_, p_, b_, num_mols=1,
+                                         box=bj, q=q)
+    )(jax.random.PRNGKey(0), zj, pj, batch)
+    jax.block_until_ready(variables)
+    init_state, chunk, _ = make_md_step(
+        pot, variables, zj, batch, masses, dt=0.05, num_mols=1, box=bj,
+        q=q, rebuild_every=rebuild, skin=1.0, temperature=300.0,
+        neighbor_strategy="cell", cell_block_spec=cell_block_spec)
+    state = init_state(pos, seed=1)
+    state = chunk(state)
+    jax.block_until_ready(state.pos)
+    compile_s = time.time() - t0
+    n_chunks = int(os.environ.get("BENCH_MD_CHUNKS", 4))
+    t0 = time.time()
+    for _ in range(n_chunks):
+        state = chunk(state)
+    jax.block_until_ready(state.pos)
+    ms = (time.time() - t0) / (n_chunks * rebuild) * 1000.0
+    print(json.dumps({
+        "metric": f"tensornet2_coulomb10A_md_ms_{n}atoms",
+        "value": round(ms, 3),
+        "unit": "ms/MD-step",
+        "vs_baseline": round(anchor_ms / ms, 3),
+        "extra": {
+            "compile_s": round(compile_s, 1),
+            "device": str(jax.devices()[0]),
+            "steps_per_sec": round(1000.0 / ms, 2),
+            "blocked": cell_block_spec is not None,
+            "overflow": bool(state.overflow),
+            "anchor_ms": round(anchor_ms, 1),
+        },
+    }), flush=True)
+
+
+def _near_cubic_dims(n):
+    """Factor ``n`` into near-cubic grid dims that fill the box exactly
+    (a partially-filled ceil-grid leaves a vacuum slab — docs/PERF.md)."""
+    best = None
+    for nx in range(2, int(round(n ** (1 / 3))) + 9):
+        if n % nx:
+            continue
+        m = n // nx
+        for ny in range(2, int(np.sqrt(m)) + 2):
+            if m % ny:
+                continue
+            nz = m // ny
+            spread = max(nx, ny, nz) / min(nx, ny, nz)
+            if best is None or spread < best[0]:
+                best = (spread, (nx, ny, nz))
+    if best and best[0] < 2.0:
+        return best[1]
+    npd = int(np.ceil(n ** (1.0 / 3.0)))
+    return (npd, npd, npd)
 
 
 def bench_train():
@@ -218,5 +353,12 @@ if __name__ == "__main__":
 
     if "--train" in sys.argv:
         bench_train()
-    else:
+    elif "--dhfr-only" in sys.argv:
         main()
+    elif "--northstar-only" in sys.argv:
+        bench_northstar()
+    else:
+        # Two metric lines; the north-star (BASELINE.json target) prints
+        # LAST so the driver's tail-JSON parse records it as primary.
+        main()
+        bench_northstar()

@@ -151,6 +151,47 @@ def test_blocked_sym_grads_match_packed():
         assert np.abs(b - p).max() / scale < 3e-2, name
 
 
+def test_blocked_mp_precise_matches_oracle():
+    """spec.precise (hi/lo bf16 split): the production-force tier must
+    match the f32 packed path to 1e-4 relative — the reference parity bar
+    (rtol=atol=1e-4, ``tests/test_warp_ops.py:85-86``)."""
+    spec, blocks, nbr, rel, attr, feats = _blocked_setup()
+    spec_p = spec._replace(precise=True)
+    ref = packed_neighbor_sum(attr, feats, nbr.idx, nbr.rev_slot, nbr.mask)
+    out = blocked_neighbor_sum(attr, feats, rel, blocks.run_starts,
+                               spec=spec_p, interpret=True)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    scale = np.abs(ref_np).max()
+    assert np.abs(out_np - ref_np).max() / scale < 1e-4
+
+
+def test_blocked_precise_grads_match_packed():
+    from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum_sym
+    from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum_sym
+
+    spec, blocks, nbr, rel, attr, feats = _blocked_setup()
+    spec_p = spec._replace(precise=True)
+    rev = nbr.rev_slot
+    attr_rev = attr[nbr.idx, rev]
+    attr_sym = jnp.where(nbr.mask[..., None], 0.5 * (attr + attr_rev), 0.0)
+
+    def loss_b(a, x):
+        out = blocked_neighbor_sum_sym(a, x, rel, blocks.run_starts,
+                                       spec_p, True)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    def loss_p(a, x):
+        out = packed_neighbor_sum_sym(a, x, nbr.idx, nbr.rev_slot, nbr.mask)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(attr_sym, feats)
+    gp = jax.grad(loss_p, argnums=(0, 1))(attr_sym, feats)
+    for b, p, name in zip(gb, gp, ("dattr", "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        scale = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / scale < 2e-4, name
+
+
 def test_blocked_asym_grads_match_packed():
     from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum_asym
     from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum_asym

@@ -229,3 +229,75 @@ def test_md_cached_coulomb_list_matches_standalone():
     # and a few steps run without NaNs
     state = chunk(state)
     assert np.isfinite(np.asarray(state.pos)).all()
+
+
+@pytest.mark.slow
+def test_md_coulomb_10A_liquid_density():
+    """The AceFF-PBC shape the MD bench runs (VERDICT round-2 #9): a
+    liquid-density periodic system with the 10 Å Coulomb cutoff, cell-list
+    strategy with a ``pick_cell_grid`` stencil > 1, skin-cached list vs
+    standalone-rebuild parity, and the ``k_max`` heuristic validated
+    against the measured row occupancy.
+
+    Reference analog: ``output_modules.py:566-588`` (cutoff+RF Coulomb)
+    driven by ``examples/aceff_examples/ase_aceff_PBC.py`` (rc=10)."""
+    from torchmdnet_tpu.ops.neighbors import pick_cell_grid
+
+    n = 2048
+    rho = 0.1
+    L = (n / rho) ** (1.0 / 3.0)
+    rng = np.random.RandomState(11)
+    pos = rng.uniform(0, L, (n, 3)).astype(np.float32)
+    z = rng.choice([1, 1, 6, 7, 8], n).astype(np.int32)
+    masses = ATOMIC_MASSES[z].astype(np.float32)
+    box = np.diag([L, L, L]).astype(np.float32)
+    rc = 10.0
+
+    dims, S, cap = pick_cell_grid([L] * 3, rc + 1.0, n)
+    assert S > 1, (dims, S, cap)  # the large-cutoff grid is the point
+
+    pot = _potential(
+        model="tensornet2", q_dim=4, embedding_dimension=16, num_layers=1,
+        output_model="ScalarPlusWeightedCoulomb",
+        q_weights=[[1.0] * 4] * 2,
+        coulomb_cutoff=rc,
+        coulomb_neighbor_strategy="cell",
+        coulomb_cells_per_dim=list(dims),
+        coulomb_cell_stencil=S,
+        coulomb_cell_capacity=cap,
+    )
+    batch = jnp.zeros(n, jnp.int32)
+    q = jnp.zeros((1,), jnp.float32)
+    bj = jnp.asarray(box)
+    variables = pot.init(
+        jax.random.PRNGKey(0), jnp.asarray(z), jnp.asarray(pos), batch,
+        num_mols=1, q=q, box=bj,
+    )
+    init_state, chunk, energy_fn = make_md_step(
+        pot, variables, jnp.asarray(z), batch, masses, dt=0.2, num_mols=1,
+        q=q, box=bj, rebuild_every=2, skin=1.0,
+        neighbor_strategy="cell",
+    )
+    state = init_state(pos)
+    assert state.cnbr_idx is not None
+    assert not bool(state.overflow)
+
+    # k_max heuristic vs measured occupancy: must hold all rows with
+    # margin but not be grossly oversized (≤3x the max row)
+    occ = np.asarray(jnp.sum(state.cnbr_mask, axis=1))
+    k_budget = state.cnbr_idx.shape[1]
+    assert occ.max() < k_budget, (occ.max(), k_budget)
+    assert k_budget < 3.0 * occ.max(), (occ.max(), k_budget)
+
+    # skin-cached list parity vs the head's standalone build
+    e_cached = float(energy_fn(state.pos, state.nbr_idx, state.nbr_mask,
+                               state.nbr_rev, state.cnbr_idx,
+                               state.cnbr_mask))
+    y, _ = pot.apply(variables, jnp.asarray(z), state.pos, batch,
+                     num_mols=1, q=q, box=bj)
+    np.testing.assert_allclose(e_cached, float(jnp.sum(y)), rtol=2e-5,
+                               atol=2e-5)
+
+    state = chunk(state)
+    assert not bool(state.overflow)
+    assert np.isfinite(np.asarray(state.pos)).all()

@@ -45,6 +45,11 @@ class CellBlockSpec(NamedTuple):
     rlh: int         # rows per run
     n_pad: int       # padded sorted row count (N + per-column alignment)
     cut_bins: int    # cutoff in fine z-bins (ceil) + 1 slop bin
+    # f32-accurate gather: window features ride as a hi/lo bf16 split
+    # (x = bf16(x) + bf16(x - bf16(x)), two MXU passes) instead of a
+    # single bf16 pass — ~2^-16 relative error, meeting the 1e-4 eV/Å
+    # production-force bar (BASELINE.md) at ~2× window DMA + dot cost.
+    precise: bool = False
 
     @property
     def nr(self) -> int:
@@ -85,6 +90,7 @@ def make_cell_block_spec(
     rlh: int = 16,
     zf_width: float = 2.0,
     headroom: float = 1.35,
+    precise: bool = False,
 ) -> CellBlockSpec:
     """Pick static knobs from concrete geometry.
 
@@ -113,7 +119,8 @@ def make_cell_block_spec(
         rows = z_ext * rho_col * headroom + 2 * 16  # + piece-align margin
         rpc = max(int(np.ceil(rows / rlh)), 2)
     return CellBlockSpec(nx=nx, ny=ny, nzf=nzf, cap=cap, rpc=rpc,
-                         rlh=rlh, n_pad=n_pad, cut_bins=cut_bins)
+                         rlh=rlh, n_pad=n_pad, cut_bins=cut_bins,
+                         precise=precise)
 
 
 class BlockedMP(NamedTuple):
@@ -155,6 +162,7 @@ def tune_cell_block_spec(
     rlh: int = 16,
     zf_width: float = 2.0,
     slack_runs: int = 1,
+    precise: bool = False,
 ) -> CellBlockSpec:
     """Data-driven spec: plan once with a generous run budget, read off the
     runs actually needed, and return a spec with ``rpc = max_used + slack``.
@@ -167,17 +175,22 @@ def tune_cell_block_spec(
     between spec refreshes (the rebuild overflow flag still guards it).
     """
     n_atoms = pos.shape[0]
-    probe = make_cell_block_spec(
-        box_diag, cutoff, n_atoms, cap=cap, rlh=rlh, zf_width=zf_width,
-        headroom=2.5,
-    )
-    blocks = plan_cell_blocks(jnp.asarray(pos), jnp.asarray(box_diag), probe)
-    if bool(blocks.overflow):
+    for headroom in (2.5, 4.0, 6.0, 9.0, 14.0):
+        probe = make_cell_block_spec(
+            box_diag, cutoff, n_atoms, cap=cap, rlh=rlh, zf_width=zf_width,
+            headroom=headroom,
+        )
+        blocks = plan_cell_blocks(jnp.asarray(pos), jnp.asarray(box_diag),
+                                  probe)
+        if not bool(blocks.overflow):
+            break
+    else:
         raise ValueError(
-            "tune_cell_block_spec: probe spec overflowed; raise headroom")
+            "tune_cell_block_spec: probe overflowed even at 14x headroom "
+            "(pathological density concentration?)")
     nr2 = (blocks.e2 - blocks.a2 + probe.rlh - 1) // probe.rlh
     used = int(jax.device_get(jnp.max(blocks.nr1 + nr2)))
-    return probe._replace(rpc=max(used + slack_runs, 2))
+    return probe._replace(rpc=max(used + slack_runs, 2), precise=precise)
 
 
 def _column_bins(pos, box_diag, spec: CellBlockSpec):

@@ -21,6 +21,18 @@ with a hand-derived first-order VJP built from *row gathers only*:
 Higher derivative orders fall back to XLA's default transposes (scatters)
 — exact, and acceptable at training-molecule sizes.
 
+Memory discipline (the 25k lesson, 2026-08-18 device OOM): at the AceFF
+PBC config the Coulomb list is ~770 slots/row, so ANY [N, K, ·] edge
+tensor is gigabytes — and XLA's layout assignment flattened the [N, K, 3]
+delta to a [N·K, 3] block whose 3-wide minor dim lane-pads 42×
+(9.2 GB for 220 MB of payload).  This op therefore (a) row-chunks the
+ENTIRE computation — geometry, kernel, pair dot — through one fused
+[chunk, K, 3+C] gather (positions and charge channels ride a single
+concatenated source, one HBM pass, one index staging), and (b) stores NO
+per-edge residuals: the backward recomputes the chunk's geometry/kernel
+instead (rematerialization — the recompute is elementwise-cheap next to
+the unavoidable gathers).
+
 G(d) = factor · (1 − f_exp(d)) · (1/d + k_rf·d² − c_rf), with the AIMNet2
 short-range damping f_exp (reference ``output_modules.py:323-332``) and
 reaction-field constants from (cutoff, ε_solvent).
@@ -46,107 +58,125 @@ def _g_kernel(d, rc: float, eps: float, factor: float):
     return factor * (1.0 - fexp) * (1.0 / d + k_rf * d * d - c_rf)
 
 
-def _edge_geometry(pos, idx, mask, box, batch):
-    delta = pos[:, None, :] - pos[idx]
-    if box is not None:
-        if batch is None:
-            batch = jnp.zeros((pos.shape[0],), jnp.int32)
-        per_atom_box = _expand_box(box, batch)
-        delta = wrap_deltas(delta, per_atom_box[:, None, :, :])
+def _chunk_geometry(pos_c, sj3, mask_c, box_c, rc):
+    """Per-chunk edge geometry from the gathered position block."""
+    delta = pos_c[:, None, :] - sj3
+    if box_c is not None:
+        delta = wrap_deltas(delta, box_c[:, None, :, :])
     d2 = jnp.sum(delta * delta, axis=-1)
-    valid = mask & (d2 > 0)
+    valid = mask_c & (d2 > 0)
     safe_d = jnp.sqrt(jnp.where(valid, d2, 1.0))
+    # Edges beyond rc contribute exactly zero — the reaction-field kernel
+    # vanishes at rc but grows again beyond it, so a skin-cached neighbor
+    # list (MD) must be re-masked here every step.
+    valid = valid & (safe_d < rc)
     return delta, safe_d, valid
+
+
+def _rows(n, k, width):
+    """Rows per chunk keeping the [chunk, K, width] transient bounded —
+    unconditional (unlike the MP heuristic, which skips chunking for
+    VMEM-resident sources: at K~770 even a small source fans out to a
+    multi-GB edge block, the 2026-08-18 OOM)."""
+    from torchmdnet_tpu.ops.message_passing import _CHUNK_BUDGET_BYTES
+
+    per_row = k * width * 4
+    c = max(_CHUNK_BUDGET_BYTES // per_row, 8)
+    if c >= n:
+        return n
+    for d in range(c, max(c // 2, 7), -1):
+        if n % d == 0:
+            return d
+    return c
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
 def coulomb_cutoff_energy(pos, a, b, idx, mask, rc, eps, factor,
                           box=None, batch=None):
-    e, _ = _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch)
+    e = _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch)
     return e
 
 
-def _pair_dot(a, b, idx):
-    """``pd[n,k] = a[n]·b[idx[n,k]]`` with bounded transients.
-
-    Unchunked, XLA materializes the gathered ``b[idx]`` as a full
-    [N·K, C] block before the channel reduction (3.7 GB at the 25k
-    TensorNet2 MD config, observed as a transposed while-loop in the
-    2026-08-17 device trace); row-chunking keeps the transient in the
-    MP budget, and the gather source is stored at the bf16 tier when
-    ``TMDNET_MP_STORAGE=bf16``.
-    """
-    from torchmdnet_tpu.ops.message_passing import (
-        _gather_cast, _map_rows, _row_chunks,
-    )
-
-    n, k = idx.shape
-    c = b.shape[-1]
-    b_g = _gather_cast(b)
-    chunk = _row_chunks(n, k, c, src_bytes=b_g.size * b_g.dtype.itemsize)
-
-    def one(args):
-        a_c, idx_c = args
-        return jnp.einsum("nc,nkc->nk", a_c, b_g[idx_c],
-                          preferred_element_type=a.dtype)
-
-    return _map_rows(one, (a, idx), n, chunk)
+def _per_atom_box(pos, box, batch):
+    if box is None:
+        return None
+    if batch is None:
+        batch = jnp.zeros((pos.shape[0],), jnp.int32)
+    return _expand_box(box, batch)
 
 
 def _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch):
-    idx = jax.lax.stop_gradient(idx)
-    delta, safe_d, valid = _edge_geometry(pos, idx, mask, box, batch)
-    # Edges beyond rc contribute exactly zero — the reaction-field kernel
-    # vanishes at rc but grows again beyond it, so a skin-cached neighbor
-    # list (MD) must be re-masked here every step.
-    valid = valid & (safe_d < rc)
-    g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
-    pd = _pair_dot(a, b, idx)
-    return jnp.sum(g * pd, axis=1), (delta, safe_d, valid, g, pd)
+    from torchmdnet_tpu.ops.message_passing import _map_rows
 
-
-def _cce_fwd(pos, a, b, idx, mask, rc, eps, factor, box, batch):
-    e, res = _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch)
-    return e, (pos, a, b, idx, mask, box, batch) + res
-
-
-def _cce_bwd(rc, eps, factor, res, ct):
-    from torchmdnet_tpu.ops.message_passing import (
-        _gather_cast, _map_rows, _row_chunks,
-    )
-
-    pos, a, b, idx, mask, box, batch, delta, safe_d, valid, g, pd = res
     idx = jax.lax.stop_gradient(idx)
     n, k = idx.shape
     c = b.shape[-1]
-    gm = jnp.where(valid, g, 0.0)
-    cta = ct[:, None] * a
-    b_g = _gather_cast(b)
-    cta_g = _gather_cast(cta)
-    src = max(b_g.size * b_g.dtype.itemsize,
-              cta_g.size * cta_g.dtype.itemsize)
-    chunk = _row_chunks(n, k, 2 * c, src_bytes=src)
-    gp = jax.grad(lambda d: jnp.sum(_g_kernel(d, rc, eps, factor)))(safe_d)
-    gp = jnp.where(valid, gp, 0.0)
+    pab = _per_atom_box(pos, box, batch)
+    src = jnp.concatenate([pos, b], axis=1)        # one gather source
+    chunk = _rows(n, k, 3 + c)
 
-    # One row-chunked pass shares the idx staging across the three
-    # channel contractions (see _pair_dot for why chunking at all).
     def one(args):
-        idx_c, gm_c, ct_c, a_c, b_c = args
-        bj = b_g[idx_c]
-        ctaj = cta_g[idx_c]
-        da_c = jnp.einsum("nk,nkc->nc", ct_c[:, None] * gm_c, bj,
-                          preferred_element_type=a.dtype)
-        db_c = jnp.einsum("nk,nkc->nc", gm_c, ctaj,
-                          preferred_element_type=a.dtype)
-        pd2_c = jnp.einsum("nc,nkc->nk", b_c, ctaj,
-                           preferred_element_type=a.dtype)
-        return da_c, db_c, pd2_c
+        pos_c, a_c, idx_c, mask_c = args[:4]
+        box_c = args[4] if pab is not None else None
+        sj = src[idx_c]                            # [ch, K, 3+C]
+        delta, safe_d, valid = _chunk_geometry(
+            pos_c, sj[..., :3], mask_c, box_c, rc)
+        g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
+        pd = jnp.einsum("nc,nkc->nk", a_c, sj[..., 3:],
+                        preferred_element_type=a.dtype)
+        return jnp.sum(g * pd, axis=1)
 
-    da, db, pd2 = _map_rows(one, (idx, gm, ct, a, b), n, chunk)
-    # pair-force: G'(d)·v̂ weighted by the symmetrized charge cotangent
-    s = gp * (ct[:, None] * pd + pd2) / safe_d
-    dpos = jnp.sum(s[..., None] * delta, axis=1)
+    args = (pos, a, idx, mask) + ((pab,) if pab is not None else ())
+    return _map_rows(one, args, n, chunk)
+
+
+def _cce_fwd(pos, a, b, idx, mask, rc, eps, factor, box, batch):
+    e = _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch)
+    # residuals: INPUTS only — per-edge tensors are recomputed chunk-wise
+    # in the backward (see module docstring)
+    return e, (pos, a, b, idx, mask, box, batch)
+
+
+def _cce_bwd(rc, eps, factor, res, ct):
+    from torchmdnet_tpu.ops.message_passing import _map_rows
+
+    pos, a, b, idx, mask, box, batch = res
+    idx = jax.lax.stop_gradient(idx)
+    n, k = idx.shape
+    c = b.shape[-1]
+    pab = _per_atom_box(pos, box, batch)
+    cta = ct[:, None] * a
+    # positions + b channels + (ct·a) channels in ONE gathered block
+    src = jnp.concatenate([pos, b, cta], axis=1)
+    chunk = _rows(n, k, 3 + 2 * c)
+
+    def one(args):
+        pos_c, a_c, b_c, ct_c, idx_c, mask_c = args[:6]
+        box_c = args[6] if pab is not None else None
+        sj = src[idx_c]                            # [ch, K, 3+2C]
+        delta, safe_d, valid = _chunk_geometry(
+            pos_c, sj[..., :3], mask_c, box_c, rc)
+        bj = sj[..., 3:3 + c]
+        ctaj = sj[..., 3 + c:]
+        g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
+        gp = jax.grad(
+            lambda d: jnp.sum(_g_kernel(d, rc, eps, factor)))(safe_d)
+        gp = jnp.where(valid, gp, 0.0)
+        pd = jnp.einsum("nc,nkc->nk", a_c, bj,
+                        preferred_element_type=a.dtype)
+        da_c = jnp.einsum("nk,nkc->nc", ct_c[:, None] * g, bj,
+                          preferred_element_type=a.dtype)
+        db_c = jnp.einsum("nk,nkc->nc", g, ctaj,
+                          preferred_element_type=a.dtype)
+        pd2 = jnp.einsum("nc,nkc->nk", b_c, ctaj,
+                         preferred_element_type=a.dtype)
+        # pair-force: G'(d)·v̂ weighted by the symmetrized charge cotangent
+        s = gp * (ct_c[:, None] * pd + pd2) / safe_d
+        dpos_c = jnp.sum(s[..., None] * delta, axis=1)
+        return dpos_c, da_c, db_c
+
+    args = (pos, a, b, ct, idx, mask) + ((pab,) if pab is not None else ())
+    dpos, da, db = _map_rows(one, args, n, chunk)
     return dpos, da, db, None, None, None, None
 
 

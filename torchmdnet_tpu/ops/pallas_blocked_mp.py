@@ -20,9 +20,20 @@ but the one-hot contraction needs only iota/compare/dot, and on the MXU
 it runs ~7× faster than the XLA HBM gather at the 25k north-star shapes
 (measured 2026-08-17: 10.8 ms vs 76.8 ms for the W=256 probe).
 
-Numerics: gathered features pass through bf16 once (the dot's operand),
-accumulation is f32 — the same contract as the TMDNET_MP_STORAGE=bf16
-tier (~1e-3 relative force error).  Edge weights stay f32.
+Numerics (two tiers, selected by ``spec.precise``):
+
+* fast (default): gathered features pass through bf16 once (the dot's
+  operand), accumulation is f32 — the same contract as the
+  TMDNET_MP_STORAGE=bf16 tier (~1e-3 relative force error).  Edge
+  weights stay f32.
+* precise: the window rides as a **hi/lo bf16 split** —
+  ``hi = bf16(x)``, ``lo = bf16(x − f32(hi))`` — and the gather runs as
+  two MXU passes (the one-hot matrix itself is exact in bf16, so
+  ``OTᵀ·hi + OTᵀ·lo`` recovers x to ~2^-16 relative).  Same for the
+  backward's cotangent fold.  This meets the reference parity bar
+  (rtol=atol=1e-4, ``/root/reference/tests/test_warp_ops.py:85-86``)
+  at ~2× the window DMA + gather-dot cost, still far under the XLA
+  HBM gather.
 """
 
 import functools
@@ -56,14 +67,34 @@ def _dma_window(spec: CellBlockSpec, rs_ref, feats_hbm, win, sems):
         cp.wait()
 
 
-def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int,
-               rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
-               win, ot, sems):
+def _gather_dot(ot, wins, d, f):
+    """xj_d = OTᵀ · window[:, dF:(d+1)F], summed over the hi/lo planes
+    (one plane in fast mode).  f32 accumulation."""
+    xj = None
+    for win in wins:
+        part = jax.lax.dot_general(
+            ot, win[:, d * f:(d + 1) * f],
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        xj = part if xj is None else xj + part
+    return xj
+
+
+def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int, *refs):
+    if spec.precise:
+        (rs_ref, rel_ref, attr_ref, hi_hbm, lo_hbm, out_ref,
+         win, win_lo, ot, sems, sems_lo) = refs
+    else:
+        (rs_ref, rel_ref, attr_ref, hi_hbm, out_ref, win, ot, sems) = refs
     cap = spec.cap
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    _dma_window(spec, rs_ref, hi_hbm, win, sems)
+    wins = (win,)
+    if spec.precise:
+        _dma_window(spec, rs_ref, lo_hbm, win_lo, sems_lo)
+        wins = (win, win_lo)
 
     # One-hot gather matrix, built once per block into a VMEM scratch
     # (recomputing it per irrep block would re-pay the [W, BK] compare 9×).
@@ -77,10 +108,7 @@ def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int,
     attr = attr_ref[0]                                 # [BK, 3F] f32
     for d in range(9):
         widx = 0 if d == 0 else (1 if d < 4 else 2)
-        xj_d = jax.lax.dot_general(                    # [BK, F] f32
-            ot[:], win[:, d * f:(d + 1) * f],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        xj_d = _gather_dot(ot[:], wins, d, f)          # [BK, F] f32
         prod = xj_d * attr[:, widx * f:(widx + 1) * f]
         # per-row segment sum over the K slots: rows are contiguous groups
         # of K edges, so a sublane-splitting reshape + sum keeps f32.
@@ -106,49 +134,67 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
     rel_r = rel.reshape(n_blocks, 1, bk)
     attr_r = attr3f.reshape(n_blocks, bk, c3)
 
+    in_specs = [
+        # run starts ride in SMEM one block-row at a time — a whole-
+        # array scalar prefetch overflows the 1 MB SMEM at 25k blocks
+        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, c3), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((spec.window, c9), jnp.bfloat16),
+        pltpu.VMEM((spec.window, cap * k), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.nr,)),
+    ]
+    operands = [run_starts.reshape(n_blocks, 1, spec.nr) // 16,
+                rel_r, attr_r]
+    hi = feats9.astype(jnp.bfloat16)
+    operands.append(hi)
+    if spec.precise:
+        in_specs.insert(4, pl.BlockSpec(memory_space=pl.ANY))
+        scratch.insert(1, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
+        scratch.append(pltpu.SemaphoreType.DMA((spec.nr,)))
+        operands.append((feats9 - hi.astype(jnp.float32))
+                        .astype(jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
-        in_specs=[
-            # run starts ride in SMEM one block-row at a time — a whole-
-            # array scalar prefetch overflows the 1 MB SMEM at 25k blocks
-            pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bk, c3), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-            pltpu.VMEM((spec.window, cap * k), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((spec.nr,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(_mp_kernel, spec, f, n_pad),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 16,
-      rel_r, attr_r, feats9.astype(jnp.bfloat16))
+    )(*operands)
     return out.reshape(n_pad, c9)
 
 
-def _dattr_kernel(spec: CellBlockSpec, f: int,
-                  rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
-                  win, ot, sems):
+def _dattr_kernel(spec: CellBlockSpec, f: int, *refs):
     """dattr[e, c] = Σ_{b∈irrep block} g[row(e), b·F+c] · xj[e, b·F+c] —
     the fold of the output cotangent back over the irrep blocks
     (blocked analogue of message_passing._pns_dattr)."""
+    if spec.precise:
+        (rs_ref, rel_ref, g_ref, hi_hbm, lo_hbm, out_ref,
+         win, win_lo, ot, sems, sems_lo) = refs
+    else:
+        (rs_ref, rel_ref, g_ref, hi_hbm, out_ref, win, ot, sems) = refs
     cap = spec.cap
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    _dma_window(spec, rs_ref, hi_hbm, win, sems)
+    wins = (win,)
+    if spec.precise:
+        _dma_window(spec, rs_ref, lo_hbm, win_lo, sems_lo)
+        wins = (win, win_lo)
 
     rel = rel_ref[0]                                   # [1, BK]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -157,21 +203,26 @@ def _dattr_kernel(spec: CellBlockSpec, f: int,
     g_b = g_ref[0]                                     # [CAP, 9F] f32
     # per-edge row cotangent: repeat each of the CAP rows K times via a
     # 0/1 matmul (a broadcast+collapse reshape lowers to an unsupported
-    # Mosaic gather; one bf16 pass on g is within the storage-tier
-    # contract).  Built once, reused for all 9 irrep blocks.
+    # Mosaic gather).  In fast mode one bf16 pass on g is within the
+    # storage-tier contract; precise mode adds the lo-plane pass.
+    # Built once, reused for all 9 irrep blocks.
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (bk, cap), 0)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, cap), 1)
     rep = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [BK, CAP]
     for d in range(9):
         widx = 0 if d == 0 else (1 if d < 4 else 2)
-        xj_d = jax.lax.dot_general(                    # [BK, F] f32
-            ot[:], win[:, d * f:(d + 1) * f],
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        xj_d = _gather_dot(ot[:], wins, d, f)          # [BK, F] f32
+        g_d = g_b[:, d * f:(d + 1) * f]
+        g_hi = g_d.astype(jnp.bfloat16)
         g_e = jax.lax.dot_general(                     # [BK, F] f32
-            rep, g_b[:, d * f:(d + 1) * f].astype(jnp.bfloat16),
+            rep, g_hi,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
+        if spec.precise:
+            g_e = g_e + jax.lax.dot_general(
+                rep, (g_d - g_hi.astype(jnp.float32)).astype(jnp.bfloat16),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
         prod = g_e * xj_d
         if d == 0 or d == 1 or d == 4:
             out_ref[0, :, widx * f:(widx + 1) * f] = prod
@@ -193,33 +244,43 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
     rel_r = rel.reshape(n_blocks, 1, bk)
     g_r = g9.reshape(n_blocks, cap, c9)
 
+    in_specs = [
+        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((spec.window, c9), jnp.bfloat16),
+        pltpu.VMEM((spec.window, bk), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.nr,)),
+    ]
+    hi = feats9.astype(jnp.bfloat16)
+    operands = [run_starts.reshape(n_blocks, 1, spec.nr) // 16,
+                rel_r, g_r, hi]
+    if spec.precise:
+        in_specs.insert(4, pl.BlockSpec(memory_space=pl.ANY))
+        scratch.insert(1, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
+        scratch.append(pltpu.SemaphoreType.DMA((spec.nr,)))
+        operands.append((feats9 - hi.astype(jnp.float32))
+                        .astype(jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
-        in_specs=[
-            pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, bk, 3 * f), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-            pltpu.VMEM((spec.window, bk), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((spec.nr,)),
-        ],
+        scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         functools.partial(_dattr_kernel, spec, f),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, bk, 3 * f), jnp.float32),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 16,
-      rel_r, g_r, feats9.astype(jnp.bfloat16))
+    )(*operands)
     return out.reshape(n_pad, k, 3 * f)
 
 
