@@ -206,11 +206,14 @@ def bench_northstar():
         coulomb_cell_capacity=cc,
     )
     cell_block_spec = None
-    if os.environ.get("BENCH_MD_BLOCKED", "1") == "1":
+    if os.environ.get("BENCH_MD_BLOCKED", "0") == "1":
         from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
 
         cell_block_spec = tune_cell_block_spec(
-            jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0, cap=8)
+            jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0,
+            cap=int(os.environ.get("BENCH_MD_CAP", 8)),
+            precise=os.environ.get("BENCH_MD_PRECISE", "1") == "1",
+            column_slots=os.environ.get("BENCH_MD_GROUPED", "1") == "1")
         args.update(cell_block_spec=cell_block_spec)
     pot = create_model(args)
     zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)

@@ -139,3 +139,109 @@ def test_md_blocked_smoke():
     sb = chunk_b(sb)
     assert not bool(sb.overflow)
     assert np.isfinite(np.asarray(sb.pos)).all()
+
+
+def test_md_grouped_blocked_smoke():
+    """Grouped (column-partitioned) + precise blocked tier through the
+    full MD integrator: t=0 forces match the exact gather path to the
+    production 1e-3 bar, steps run clean."""
+    from torchmdnet_tpu.md.integrators import make_md_step
+
+    cutoff, k = 3.2, 48
+    z, pos, box, L = _system(n=300)
+    n = len(z)
+    batch = jnp.zeros((n,), jnp.int32)
+    zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+    masses = np.full((n,), 12.0)
+
+    args = _args("tensornet", cutoff, k)
+    pot = create_model(args)
+    variables = pot.init(jax.random.PRNGKey(0), zj, pj, batch, num_mols=1,
+                         box=bj)
+
+    kw = dict(dt=0.2, num_mols=1, box=bj, rebuild_every=3, skin=0.5,
+              temperature=None)
+    init_a, _, _ = make_md_step(pot, variables, zj, batch, masses, **kw)
+    spec = tune_cell_block_spec(pj, jnp.diag(bj), cutoff + 0.5, cap=8,
+                                precise=True, column_slots=True)
+    assert spec.col_slots is not None and len(spec.col_slots) == 9
+    pot_b = create_model(dict(args, cell_block_spec=spec))
+    init_b, chunk_b, _ = make_md_step(pot_b, variables, zj, batch, masses,
+                                      cell_block_spec=spec, **kw)
+
+    sa = init_a(pos, seed=1)
+    sb = init_b(pos, seed=1)
+    assert not bool(sb.overflow)
+    fa, fb = np.asarray(sa.force), np.asarray(sb.force)
+    scale = np.abs(fa).max() + 1e-30
+    assert np.abs(fb - fa).max() / scale < 1e-3
+
+    sb = chunk_b(sb)
+    assert not bool(sb.overflow)
+    assert np.isfinite(np.asarray(sb.pos)).all()
+
+
+def test_adaptive_md_respec_on_density_spike():
+    """make_adaptive_md_step survives a spec-busting configuration: the
+    spec is tuned on a uniform system, then MD starts from a density-spiked
+    configuration (all atoms compressed into the lower half of z) whose
+    windows exceed the tuned run budget.  The engine must re-spec on the
+    live geometry (logged warning), produce correct forces (vs the exact
+    gather path), and carry NO sticky overflow (VERDICT round-2 weak #6)."""
+    import warnings
+
+    from torchmdnet_tpu.md.integrators import (
+        make_adaptive_md_step,
+        make_md_step,
+    )
+
+    cutoff, k = 3.2, 80
+    z, pos, box, L = _system(n=260, seed=5)
+    n = len(z)
+    batch = jnp.zeros((n,), jnp.int32)
+    zj, bj = jnp.asarray(z), jnp.asarray(box)
+    masses = np.full((n,), 12.0)
+
+    # spec tuned on the UNIFORM geometry...
+    spec = tune_cell_block_spec(jnp.asarray(pos), jnp.diag(bj),
+                                cutoff + 0.5, cap=8, precise=True)
+    # ...but MD starts with 100 atoms rearranged onto a dense z-line in a
+    # single xy-column: that column's window needs ~100 rows (≫ the
+    # uniformly-tuned run budget) while per-atom neighbor counts stay
+    # under K (window rows ∝ line length, neighbors ∝ local spacing) —
+    # the window overflow must fire WITHOUT the sticky K overflow
+    spiked = pos.copy()
+    nline = 80
+    spiked[:nline, 0] = 0.125 * L
+    spiked[:nline, 1] = 0.125 * L
+    spiked[:nline, 2] = np.linspace(0.1, L - 0.1, nline)
+    blocks = plan_cell_blocks(jnp.asarray(spiked), jnp.diag(bj), spec)
+    assert bool(blocks.overflow), "fixture must actually bust the spec"
+
+    args = dict(_args("tensornet", cutoff, k),
+                embedding_dimension=16, num_layers=1, num_rbf=4)
+    pot_b = create_model(dict(args, cell_block_spec=spec))
+    variables = pot_b.init(jax.random.PRNGKey(0), zj, jnp.asarray(spiked),
+                           batch, num_mols=1, box=bj)
+    kw = dict(dt=0.2, num_mols=1, box=bj, rebuild_every=2, skin=0.5,
+              temperature=None)
+    init_b, chunk_b, _ = make_adaptive_md_step(
+        pot_b, variables, zj, batch, masses, cell_block_spec=spec, **kw)
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        sb = init_b(spiked, seed=1)
+    assert any("re-spec" in str(w.message) for w in rec), (
+        [str(w.message) for w in rec])
+    assert not bool(sb.overflow)
+
+    # forces after the respec must match the exact gather path
+    pot_a = create_model(args)
+    init_a, _, _ = make_md_step(pot_a, variables, zj, batch, masses, **kw)
+    sa = init_a(spiked, seed=1)
+    fa, fb = np.asarray(sa.force), np.asarray(sb.force)
+    scale = np.abs(fa).max() + 1e-30
+    assert np.abs(fb - fa).max() / scale < 1e-3  # precise tier
+
+    sb = chunk_b(sb)
+    assert not bool(sb.overflow)
+    assert np.isfinite(np.asarray(sb.pos)).all()

@@ -192,6 +192,90 @@ def test_blocked_precise_grads_match_packed():
         assert np.abs(b - p).max() / scale < 2e-4, name
 
 
+def _grouped_setup(n=600, cutoff=3.2, f=16, seed=0, precise=True):
+    """Column-partitioned slots + grouped kernel inputs on a liquid
+    system: cell-list build with ``column_partition`` (same xy grid as
+    the block spec), budgets measured by ``tune_column_slots``."""
+    from torchmdnet_tpu.ops.cell_blocks import tune_column_slots
+
+    pos, box, L = _system(n, seed=seed)
+    bd = jnp.diag(jnp.asarray(box))
+    spec = make_cell_block_spec(np.diag(box), cutoff, n, cap=8,
+                                precise=precise)
+    blocks = plan_cell_blocks(jnp.asarray(pos), bd, spec)
+    assert not bool(blocks.overflow)
+    perm = np.asarray(blocks.perm)
+    ghost = perm >= n
+    pos_s = jnp.asarray(
+        np.where(ghost[:, None], 0.0, pos[np.minimum(perm, n - 1)]))
+    am = jnp.asarray(~ghost)
+    # probe list (brute) to measure the per-column budgets
+    probe = build_neighbor_matrix(
+        pos_s, strategy="brute", k_max=64, cutoff_upper=cutoff,
+        loop=True, box=jnp.asarray(box), atom_mask=am)
+    assert not bool(probe.overflow)
+    col_slots = tune_column_slots(blocks, probe.idx, probe.mask, pos_s, bd)
+    spec_g = spec._replace(col_slots=col_slots)
+    blocks_g = plan_cell_blocks(jnp.asarray(pos), bd, spec_g)
+    nz = max(int(L // cutoff), 3)
+    occ = n / (spec.nx * spec.ny * nz)
+    nbr = build_neighbor_matrix(
+        pos_s, strategy="cell", k_max=sum(col_slots), cutoff_upper=cutoff,
+        loop=True, box=jnp.asarray(box), atom_mask=am,
+        cells_per_dim=(spec.nx, spec.ny, nz),
+        cell_capacity=int(np.ceil(occ * 4)) + 8,
+        column_partition=col_slots)
+    assert not bool(nbr.overflow)
+    rel, eov = edge_rel(blocks_g, nbr.idx, nbr.mask, pos_s, bd)
+    assert not bool(eov)
+    rng = np.random.RandomState(seed + 20)
+    n_pad = spec.n_pad
+    kp = sum(col_slots)
+    attr = rng.randn(n_pad, kp, 3 * f).astype(np.float32)
+    attr = np.where(np.asarray(nbr.mask)[..., None], attr, 0.0)
+    feats = rng.randn(n_pad, 9 * f).astype(np.float32)
+    return (spec_g, blocks_g, nbr, rel, jnp.asarray(attr),
+            jnp.asarray(feats))
+
+
+def test_grouped_blocked_mp_matches_oracle():
+    """Column-grouped kernel (spec.col_slots) vs the packed f32 oracle,
+    precise tier: 1e-4 relative — the production-force configuration."""
+    spec, blocks, nbr, rel, attr, feats = _grouped_setup()
+    ref = packed_neighbor_sum(attr, feats, nbr.idx, nbr.rev_slot, nbr.mask)
+    out = blocked_neighbor_sum(attr, feats, rel, blocks.run_starts,
+                               spec=spec, interpret=True)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    scale = np.abs(ref_np).max()
+    assert np.abs(out_np - ref_np).max() / scale < 1e-4
+
+
+def test_grouped_blocked_grads_match_packed():
+    from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum_sym
+    from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum_sym
+
+    spec, blocks, nbr, rel, attr, feats = _grouped_setup(seed=2)
+    rev = nbr.rev_slot
+    attr_rev = attr[nbr.idx, rev]
+    attr_sym = jnp.where(nbr.mask[..., None], 0.5 * (attr + attr_rev), 0.0)
+
+    def loss_b(a, x):
+        out = blocked_neighbor_sum_sym(a, x, rel, blocks.run_starts,
+                                       spec, True)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    def loss_p(a, x):
+        out = packed_neighbor_sum_sym(a, x, nbr.idx, nbr.rev_slot, nbr.mask)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    gb = jax.grad(loss_b, argnums=(0, 1))(attr_sym, feats)
+    gp = jax.grad(loss_p, argnums=(0, 1))(attr_sym, feats)
+    for b, p, name in zip(gb, gp, ("dattr", "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        scale = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / scale < 2e-4, name
+
+
 def test_blocked_asym_grads_match_packed():
     from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum_asym
     from torchmdnet_tpu.ops.message_passing import packed_neighbor_sum_asym

@@ -114,10 +114,14 @@ if BLOCKED:
     from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
 
     # tune for the skin-padded cutoff (the rebuild list is built at
-    # cutoff+skin and every listed edge must be window-covered)
+    # cutoff+skin and every listed edge must be window-covered).
+    # MD_GROUPED=1 (default): column-partitioned slots — gather FLOPs
+    # ∝ W/9; MD_PRECISE=1: hi/lo bf16 split (production forces).
     cell_block_spec = tune_cell_block_spec(
         jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0,
-        cap=int(os.environ.get("MD_CAP", 8)))
+        cap=int(os.environ.get("MD_CAP", 8)),
+        precise=os.environ.get("MD_PRECISE", "0") == "1",
+        column_slots=os.environ.get("MD_GROUPED", "1") == "1")
     print(f"blocked spec: {cell_block_spec} window="
           f"{cell_block_spec.window}", flush=True)
     args.update(cell_block_spec=cell_block_spec)

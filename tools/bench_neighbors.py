@@ -98,7 +98,7 @@ def main():
             if total_n // max(nb, 1) < 8:
                 continue
             for strategy in ("brute", "cell"):
-                if strategy == "brute" and total_n > 40000:
+                if strategy == "brute" and total_n > 16000:
                     continue  # O(N²) memory wall (reference caps similarly)
                 if strategy == "cell" and nb > 1:
                     continue  # cell path is single-system (per-box grid)

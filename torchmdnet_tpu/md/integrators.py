@@ -215,6 +215,24 @@ def make_md_step(
         n_atoms = int(jnp.asarray(batch).shape[0])
         z_arr = jnp.asarray(z)
         batch_arr = jnp.asarray(batch)
+        if cell_block_spec.col_slots is not None:
+            # Grouped kernel tier: the sorted-space neighbor build must
+            # use the SPEC's xy grid and emit column-partitioned slots
+            # (K' = Σ budgets replaces the model's K).
+            import numpy as np
+
+            bd_np = np.asarray(jax.device_get(bd), np.float64)
+            nz = max(int(bd_np[2] // (cutoff + skin)), 3)
+            n_real = int(jax.device_get(jnp.sum(atom_mask)))
+            occ = n_real / (cell_block_spec.nx * cell_block_spec.ny * nz)
+            nbr_kwargs.update(
+                strategy="cell",
+                k_max=sum(cell_block_spec.col_slots),
+                cells_per_dim=(cell_block_spec.nx, cell_block_spec.ny,
+                               nz),
+                cell_capacity=int(np.ceil(occ * 2.5)) + 8,
+                column_partition=cell_block_spec.col_slots,
+            )
 
     def energy(pos, nbr_idx, nbr_mask, nbr_rev, cnbr_idx=None,
                cnbr_mask=None):
@@ -319,16 +337,24 @@ def make_md_step(
             nbr = build_neighbor_matrix(
                 pos_s, batchs, atom_mask=am_s, **nbr_kwargs)
             rel, eov = edge_rel(blocks, nbr.idx, nbr.mask, pos_s, bd)
+            # K overflow stays sticky (same failure as the gather path);
+            # the blocked-geometry flags are transient — the caller can
+            # recover by re-spec'ing (make_adaptive_md_step) without a
+            # poisoned flag.  In grouped mode the builder's overflow IS
+            # a spec parameter (per-column budgets), so it is
+            # recoverable too.
+            if cell_block_spec.col_slots is not None:
+                sticky, blk = (state.overflow,
+                               blocks.overflow | eov | nbr.overflow)
+            else:
+                sticky, blk = (state.overflow | nbr.overflow,
+                               blocks.overflow | eov)
             state = state._replace(
                 nbr_idx=nbr.idx,
                 nbr_mask=nbr.mask,
                 nbr_rev=nbr.rev_slot,
-                # K overflow stays sticky (same failure as the gather
-                # path); the blocked-geometry flags are transient — the
-                # caller can recover by re-spec'ing (see
-                # make_adaptive_md_step) without a poisoned flag.
-                overflow=state.overflow | nbr.overflow,
-                blk_overflow=blocks.overflow | eov,
+                overflow=sticky,
+                blk_overflow=blk,
                 perm=perm_safe,
                 inv_perm=blocks.inv_perm,
                 mask_rows=am_s,
@@ -376,7 +402,9 @@ def make_md_step(
 
     _init_force = jax.jit(lambda p, st: -grad_state(p, st))
 
-    def init_state(pos, vel=None, seed=0):
+    def _init_raw(pos, vel=None, seed=0):
+        """Post-rebuild state with NO blk_overflow fold and no force —
+        the adaptive wrapper needs the transient flag unconsumed."""
         pos = jnp.asarray(pos)
         key = jax.random.PRNGKey(seed)
         if vel is None:
@@ -391,15 +419,19 @@ def make_md_step(
             pos, jnp.asarray(vel), jnp.zeros_like(pos), None, None, None,
             key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
         )
-        st = _rebuild(st)
+        return _rebuild(st)
+
+    def init_state(pos, vel=None, seed=0):
+        st = _init_raw(pos, vel=vel, seed=seed)
         if use_blocked:
             st = st._replace(overflow=st.overflow | st.blk_overflow)
-        return st._replace(force=_init_force(pos, st))
+        return st._replace(force=_init_force(st.pos, st))
 
     # internals exposed for the adaptive (auto-respec) wrapper
     chunk._rebuild = _rebuild
     chunk._steps = _steps
     chunk._init_force = _init_force
+    chunk._init_raw = _init_raw
 
     if use_blocked:
         return init_state, chunk, jax.jit(energy_state)
@@ -491,7 +523,8 @@ def make_adaptive_md_step(
                 new_spec = tune_cell_block_spec(
                     state.pos, jnp.asarray(bd_np), cutoff_pad,
                     cap=old.cap, rlh=old.rlh, slack_runs=2,
-                    precise=old.precise)
+                    precise=old.precise,
+                    column_slots=old.col_slots is not None)
             except ValueError:
                 new_spec = None
             if new_spec is not None and new_spec.rpc <= old.rpc:
@@ -526,14 +559,13 @@ def make_adaptive_md_step(
         return cur["chunk"]._steps(st)
 
     def init_state(pos, vel=None, seed=0):
-        st = cur["init"](pos, vel=vel, seed=seed)
+        st = cur["chunk"]._init_raw(pos, vel=vel, seed=seed)
         if cur["spec"] is not None and bool(
                 jax.device_get(st.blk_overflow)):
             st = _respec(st)
-            st = st._replace(force=cur["chunk"]._init_force(st.pos, st))
-            if st.blk_overflow is not None:
-                st = st._replace(overflow=st.overflow | st.blk_overflow)
-        return st
+        if st.blk_overflow is not None:
+            st = st._replace(overflow=st.overflow | st.blk_overflow)
+        return st._replace(force=cur["chunk"]._init_force(st.pos, st))
 
     def energy(pos, st):
         return cur["energy"](pos, st)

@@ -50,6 +50,13 @@ class CellBlockSpec(NamedTuple):
     # single bf16 pass — ~2^-16 relative error, meeting the 1e-4 eV/Å
     # production-force bar (BASELINE.md) at ~2× window DMA + dot cost.
     precise: bool = False
+    # Column-partitioned slot budgets (9 ints, stencil (dx,dy) ij order):
+    # the neighbor matrix's K axis is statically split per stencil column
+    # (ops/neighbors.py column_partition) and the MP kernel runs one
+    # one-hot per column against that column's 1/9 of the window —
+    # gather FLOPs drop from 2·n_pad·K·W·9F to 2·n_pad·K'·(W/9)·9F
+    # (K' = Σ budgets ≈ 1.3K).  None = unpartitioned whole-window kernel.
+    col_slots: Optional[tuple] = None
 
     @property
     def nr(self) -> int:
@@ -87,20 +94,23 @@ def make_cell_block_spec(
     *,
     cap: int = 8,
     rpc: Optional[int] = None,
-    rlh: int = 16,
-    zf_width: float = 2.0,
+    rlh: int = 8,
+    zf_width: float = 1.0,
     headroom: float = 1.35,
     precise: bool = False,
 ) -> CellBlockSpec:
     """Pick static knobs from concrete geometry.
 
-    ``rlh`` must be a multiple of 16 (Mosaic HBM-slice tile alignment).
+    ``rlh`` must be a multiple of 8 (Mosaic f32 HBM-slice tile alignment —
+    the window is DMA'd as f32 and split to bf16 hi/lo in-kernel).
     ``rpc`` defaults to a density estimate with ``headroom`` slack plus
     piece-alignment margin; the rebuild overflow flag catches
     underestimates (inhomogeneous systems may need a larger value).
-    Window FLOPs in the MP kernel scale with ``window = 9·rpc·rlh`` —
-    whether runs are used or not — so tight rpc·rlh matters more than
-    generous overflow margins.
+    One-hot gather FLOPs in the MP kernel scale with
+    ``window = 9·rpc·rlh`` — whether runs are used or not — so tight
+    rpc·rlh matters more than generous overflow margins (the round-2 spec
+    at rlh=16/zf=2.0 tuned to window=1440 at 25k and LOST to the XLA
+    gather; 8-row runs + 1 Å z-bins cut the quantization waste ~2×).
     """
     bd = np.asarray(box_diag, dtype=np.float64)
     nx = max(int(bd[0] // cutoff), 1)
@@ -109,14 +119,14 @@ def make_cell_block_spec(
     zbin = bd[2] / nzf
     cut_bins = int(np.ceil(cutoff / zbin)) + 1
     ncols = nx * ny
-    rlh = max(int(np.ceil(rlh / 16) * 16), 16)
+    rlh = max(int(np.ceil(rlh / 8) * 8), 8)
     npm = int(np.lcm(cap, 16))  # n_pad: blocks AND 16-row slice clamps
     n_pad = int(np.ceil((n_atoms + ncols * cap) / npm) * npm)
     if rpc is None:
         rho_col = n_atoms / ncols / bd[2]          # atoms per Å per column
         span = cap / max(rho_col, 1e-9)            # block z-extent in Å
         z_ext = 2.0 * (cut_bins + 1) * zbin + span
-        rows = z_ext * rho_col * headroom + 2 * 16  # + piece-align margin
+        rows = z_ext * rho_col * headroom + 2 * 8  # + piece-align margin
         rpc = max(int(np.ceil(rows / rlh)), 2)
     return CellBlockSpec(nx=nx, ny=ny, nzf=nzf, cap=cap, rpc=rpc,
                          rlh=rlh, n_pad=n_pad, cut_bins=cut_bins,
@@ -159,10 +169,12 @@ def tune_cell_block_spec(
     cutoff: float,
     *,
     cap: int = 8,
-    rlh: int = 16,
-    zf_width: float = 2.0,
+    rlh: int = 8,
+    zf_width: float = 1.0,
     slack_runs: int = 1,
     precise: bool = False,
+    column_slots: bool = False,
+    slot_slack: int = 2,
 ) -> CellBlockSpec:
     """Data-driven spec: plan once with a generous run budget, read off the
     runs actually needed, and return a spec with ``rpc = max_used + slack``.
@@ -190,7 +202,68 @@ def tune_cell_block_spec(
             "(pathological density concentration?)")
     nr2 = (blocks.e2 - blocks.a2 + probe.rlh - 1) // probe.rlh
     used = int(jax.device_get(jnp.max(blocks.nr1 + nr2)))
-    return probe._replace(rpc=max(used + slack_runs, 2), precise=precise)
+    spec = probe._replace(rpc=max(used + slack_runs, 2), precise=precise)
+    if not column_slots:
+        return spec
+    # Measure per-stencil-column slot budgets on the concrete geometry
+    # (grouped kernel tier).  Requires a ≥3-wide xy grid (the cell-list
+    # builder's minimum).
+    if spec.nx < 3 or spec.ny < 3:
+        raise ValueError(
+            f"column_slots needs a >=3x3 xy grid (got {spec.nx}x{spec.ny})"
+            " — box too small for the grouped tier at this cutoff")
+    from torchmdnet_tpu.ops.neighbors import build_neighbor_matrix
+
+    blocks = plan_cell_blocks(jnp.asarray(pos), jnp.asarray(box_diag), spec)
+    perm_safe = jnp.minimum(blocks.perm, n_atoms - 1)
+    am = blocks.mask_rows
+    pos_s = jnp.where(am[:, None], jnp.asarray(pos)[perm_safe], 0.0)
+    bd = np.asarray(jax.device_get(jnp.asarray(box_diag)), np.float64)
+    nz = max(int(bd[2] // cutoff), 3)
+    occ = n_atoms / (spec.nx * spec.ny * nz)
+    # probe budget ≥ the max row count at this cutoff (≈4π/3·rc³·ρ plus
+    # fluctuation); the cutoff sphere spans ~4.2·occ cell volumes
+    k_probe = min(int(np.ceil(occ * 10)) + 32, spec.n_pad)
+    box = jnp.diag(jnp.asarray(box_diag))
+    probe_nbr = build_neighbor_matrix(
+        pos_s, strategy="cell", k_max=k_probe, cutoff_upper=cutoff,
+        loop=True, box=box, atom_mask=am,
+        cells_per_dim=(spec.nx, spec.ny, nz),
+        cell_capacity=int(np.ceil(occ * 2.5)) + 8)
+    if bool(probe_nbr.overflow):
+        raise ValueError("column_slots probe neighbor list overflowed")
+    slots = tune_column_slots(blocks, probe_nbr.idx, probe_nbr.mask,
+                              pos_s, jnp.asarray(box_diag),
+                              slack=slot_slack)
+    return spec._replace(col_slots=slots)
+
+
+def tune_column_slots(blocks: "CellBlocks", idx, mask, pos_s, box_diag,
+                      slack: int = 2) -> tuple:
+    """Per-stencil-column slot budgets for the grouped blocked-MP kernel,
+    measured on a concrete sorted-space neighbor matrix (``idx``/``mask``
+    [n_pad, K] built on ``pos_s``): budget[s] = max over rows of the
+    number of neighbors in stencil column s, plus ``slack``.  Returns a
+    9-tuple in the builder's (dx,dy) ij order; feed it to
+    ``build_neighbor_matrix(..., column_partition=...)`` and
+    ``spec._replace(col_slots=...)``."""
+    spec = blocks.spec
+    n_pad, k = idx.shape
+    cap = spec.cap
+    n_blocks = spec.n_blocks
+    col_s, _ = _column_bins(pos_s, box_diag, spec)
+    jcol = col_s[idx]
+    blk = jnp.arange(n_pad, dtype=jnp.int32) // cap
+    cx = col_s.reshape(n_blocks, cap)[:, 0] // spec.ny
+    cy = col_s.reshape(n_blocks, cap)[:, 0] % spec.ny
+    dx = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
+    dy = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
+    scol = ((cx[:, None] + dx[None, :]) % spec.nx) * spec.ny + (
+        (cy[:, None] + dy[None, :]) % spec.ny)
+    eq = scol[blk][:, None, :] == jcol[:, :, None]    # [n_pad, K, 9]
+    counts = jnp.sum(eq & mask[:, :, None], axis=1)   # [n_pad, 9]
+    maxima = jax.device_get(jnp.max(counts, axis=0))
+    return tuple(int(m) + slack for m in maxima)
 
 
 def _column_bins(pos, box_diag, spec: CellBlockSpec):
@@ -307,14 +380,14 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     a2 = jnp.where(empty, base, a2)
     e2 = jnp.where(empty, base, e2)
 
-    # Mosaic can only slice HBM at tile-aligned (16-row for bf16) offsets,
+    # Mosaic can only slice HBM at tile-aligned (8-row for f32) offsets,
     # and it needs a static *proof* — so piece starts are floored to
-    # multiples of 16 here (the extra sub-piece rows are harmless junk
-    # coverage) and the kernel receives run starts in units of 16 rows
-    # (start = rs·16).  Only align non-empty pieces: flooring a degenerate
+    # multiples of 8 here (the extra sub-piece rows are harmless junk
+    # coverage) and the kernel receives run starts in units of 8 rows
+    # (start = rs·8).  Only align non-empty pieces: flooring a degenerate
     # piece would fabricate a spurious run.
-    a1 = jnp.where(e1 > a1, (a1 // 16) * 16, a1)
-    a2 = jnp.where(e2 > a2, (a2 // 16) * 16, a2)
+    a1 = jnp.where(e1 > a1, (a1 // 8) * 8, a1)
+    a2 = jnp.where(e2 > a2, (a2 // 8) * 8, a2)
 
     # When the two pieces sit close in row space (wrapped windows in
     # short columns), covering the merged interval [a2, e1) — junk rows
@@ -346,7 +419,7 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     starts = jnp.clip(starts, 0, max(n_pad - rlh, 0))
     # unused runs (j ≥ nr1+nr2) may start at unaligned piece remnants;
     # floor them too — they DMA junk that nothing addresses.
-    starts = (starts // 16) * 16
+    starts = (starts // 8) * 8
     run_starts = starts.reshape(n_blocks, spec.nr).astype(jnp.int32)
 
     return (perm, inv_perm, mask_rows, run_starts,
@@ -363,22 +436,32 @@ def _edge_rel_impl(blocks_arrays, idx, mask, pos_s, box_diag, spec):
     n_pad, k = idx.shape
     n_blocks = spec.n_blocks
 
-    col_s, _ = _column_bins(pos_s, box_diag, spec)    # sorted-space columns
-    jcol = col_s[idx]                                 # [n_pad, K]
-
     blk = jnp.arange(n_pad, dtype=jnp.int32) // cap
-    # stencil columns per block, derived from runs' geometry inputs: the
-    # planner's scol is reproducible from the block's own column
-    cx = col_s.reshape(n_blocks, cap)[:, 0] // spec.ny
-    cy = col_s.reshape(n_blocks, cap)[:, 0] % spec.ny
-    dx = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
-    dy = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
-    scol = ((cx[:, None] + dx[None, :]) % spec.nx) * spec.ny + (
-        (cy[:, None] + dy[None, :]) % spec.ny)        # [n_blocks, 9]
+    if spec.col_slots is not None:
+        # Partitioned slots: the stencil column of every slot is STATIC
+        # (the builder groups the K axis per (dx,dy) — same ij order as
+        # the planner's scol), so no column matching is needed.
+        q_static = np.repeat(np.arange(9, dtype=np.int32),
+                             np.asarray(spec.col_slots, np.int64))
+        assert q_static.shape[0] == k, (spec.col_slots, k)
+        q = jnp.broadcast_to(jnp.asarray(q_static)[None, :], (n_pad, k))
+        matched = jnp.ones((n_pad, k), bool)
+    else:
+        col_s, _ = _column_bins(pos_s, box_diag, spec)  # sorted-space cols
+        jcol = col_s[idx]                               # [n_pad, K]
 
-    eq = scol[blk][:, None, :] == jcol[:, :, None]    # [n_pad, K, 9]
-    q = jnp.argmax(eq, axis=-1).astype(jnp.int32)
-    matched = eq.any(axis=-1)
+        # stencil columns per block, derived from runs' geometry inputs:
+        # the planner's scol is reproducible from the block's own column
+        cx = col_s.reshape(n_blocks, cap)[:, 0] // spec.ny
+        cy = col_s.reshape(n_blocks, cap)[:, 0] % spec.ny
+        dx = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
+        dy = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
+        scol = ((cx[:, None] + dx[None, :]) % spec.nx) * spec.ny + (
+            (cy[:, None] + dy[None, :]) % spec.ny)      # [n_blocks, 9]
+
+        eq = scol[blk][:, None, :] == jcol[:, :, None]  # [n_pad, K, 9]
+        q = jnp.argmax(eq, axis=-1).astype(jnp.int32)
+        matched = eq.any(axis=-1)
 
     def g(x):
         return jnp.take_along_axis(x[blk], q, axis=1)

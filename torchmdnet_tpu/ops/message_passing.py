@@ -23,9 +23,12 @@ import jax.numpy as jnp
 def reverse_slots(idx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """rev_slot[n,k] = position of n in row idx[n,k] (0 on invalid slots).
 
-    Valid slots are stored ascending-j first (ops.neighbors contract), so
-    the first match is the valid one even when padding slots alias the row
-    index.  The [C,K,K] comparison block is chunked over rows with
+    The match is restricted to VALID slots of the reverse row: padding
+    slots store the row index (idx = row), which aliases the self edge —
+    with a valid-first slot layout the first match happened to be right,
+    but column-partitioned layouts (ops/neighbors.py column_partition)
+    interleave padding before the valid self slot, so the mask must
+    participate.  The [C,K,K] comparison block is chunked over rows with
     ``lax.map`` so the transient stays bounded (unchunked it is N·K²·4 B —
     0.9 GB at the 25k/K=96 MD config).
     """
@@ -36,8 +39,9 @@ def reverse_slots(idx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     def one(args):
         idx_c, me_c = args
         rows = jnp.take(idx, idx_c, axis=0)  # [C, K, K]
+        rmask = jnp.take(mask, idx_c, axis=0)
         return jnp.argmax(
-            rows == me_c[:, None, None], axis=-1
+            (rows == me_c[:, None, None]) & rmask, axis=-1
         ).astype(jnp.int32)
 
     slot = _map_rows(one, (idx, me), n, chunk)

@@ -223,6 +223,7 @@ def cell_neighbor_matrix(
     cells_per_dim: Optional[tuple] = None,
     stencil: int = 1,
     compact: Optional[str] = None,
+    column_partition: Optional[tuple] = None,
 ) -> NeighborMatrix:
     """O(N·(2S+1)³·cell_capacity) neighbor matrix via sort-based binning.
 
@@ -280,6 +281,8 @@ def cell_neighbor_matrix(
         cells_per_dim=cells_per_dim,
         stencil=stencil,
         compact=compact,
+        column_partition=(tuple(column_partition)
+                          if column_partition is not None else None),
     )
 
 
@@ -294,6 +297,7 @@ def cell_neighbor_matrix(
         "cells_per_dim",
         "stencil",
         "compact",
+        "column_partition",
     ),
 )
 def _cell_neighbor_matrix_impl(
@@ -310,6 +314,7 @@ def _cell_neighbor_matrix_impl(
     cells_per_dim,
     stencil=1,
     compact="kloop",
+    column_partition=None,
 ):
     n = pos.shape[0]
     pos = jax.lax.stop_gradient(pos)
@@ -392,6 +397,44 @@ def _cell_neighbor_matrix_impl(
         cand_am = atom_mask[table_safe][ncell_id].reshape(n, C)
         adj &= atom_mask[:, None] & cand_am
 
+    if column_partition is not None:
+        # Column-partitioned slots for the grouped blocked-MP kernel
+        # (ops/pallas_blocked_mp.py): slot axis statically split into 9
+        # ranges, one per stencil xy-column (dx,dy) in ij order — the
+        # candidate axis is already grouped that way (offs meshgrid: dx
+        # slowest, dy, dz; 3 z-cells = 3·capacity contiguous candidates
+        # per xy-column).  Each group compacts independently to its
+        # budget; per-group overflow feeds the (recoverable) flag.
+        assert S == 1, "column_partition requires the 3x3 stencil"
+        assert len(column_partition) == 9
+        assert k_max == sum(column_partition)
+        gsz = 3 * cell_capacity
+        idx_parts, mask_parts = [], []
+        overflow = cell_overflow
+        colg = jax.lax.broadcasted_iota(jnp.int32, (n, gsz), 1)
+        for g, kg in enumerate(column_partition):
+            sub_adj = adj[:, g * gsz:(g + 1) * gsz]
+            sub_cand = cand_safe[:, g * gsz:(g + 1) * gsz]
+            score = jnp.where(sub_adj, gsz - colg, 0).astype(jnp.int32)
+            top, _ = jax.lax.top_k(score, min(kg, gsz))
+            if kg > gsz:
+                top = jnp.pad(top, ((0, 0), (0, kg - gsz)))
+            mask_g = top > 0
+            colidx = jnp.where(mask_g, gsz - top, 0)
+            idx_g = jnp.take_along_axis(sub_cand, colidx, axis=1)
+            rowg = jax.lax.broadcasted_iota(jnp.int32, (n, kg), 0)
+            idx_parts.append(
+                jnp.where(mask_g, idx_g.astype(jnp.int32), rowg))
+            mask_parts.append(mask_g)
+            overflow |= jnp.any(sub_adj.sum(axis=1) > kg)
+        idx = jnp.concatenate(idx_parts, axis=1)
+        mask = jnp.concatenate(mask_parts, axis=1)
+        count = adj.sum(axis=1).astype(jnp.int32)
+        from torchmdnet_tpu.ops.message_passing import reverse_slots
+
+        return NeighborMatrix(idx, mask, count, overflow,
+                              reverse_slots(idx, mask))
+
     # Compact candidates to K slots.  Slot order = candidate order
     # (stencil-cell, rank); valid-first, which is all reverse_slots/message
     # passing require.  Two lowerings, picked by candidate width:
@@ -465,6 +508,7 @@ def build_neighbor_matrix(
         kwargs.pop("cells_per_dim", None)
         kwargs.pop("stencil", None)
         kwargs.pop("compact", None)
+        kwargs.pop("column_partition", None)
         return brute_neighbor_matrix(pos, batch, **kwargs)
     if strategy == "cell":
         return cell_neighbor_matrix(pos, batch, **kwargs)

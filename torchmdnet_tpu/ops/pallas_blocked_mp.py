@@ -16,24 +16,22 @@ bf16 matmul:
 
 Mosaic (jax 0.9) has no in-VMEM gather primitive — `take_along_axis`
 crashes the backend and arbitrary `vector.load` indices are rejected —
-but the one-hot contraction needs only iota/compare/dot, and on the MXU
-it runs ~7× faster than the XLA HBM gather at the 25k north-star shapes
-(measured 2026-08-17: 10.8 ms vs 76.8 ms for the W=256 probe).
+but the one-hot contraction needs only iota/compare/dot.  Its FLOPs are
+``2·n_pad·K·W·9F`` — proportional to the *window* size W, so the spec's
+run quantization is the performance knob (see make_cell_block_spec; the
+round-2 rlh=16 spec tuned to W=1440 at 25k and lost to the XLA gather).
 
-Numerics (two tiers, selected by ``spec.precise``):
+The window is DMA'd as **f32** (8-row run alignment — half the
+quantization waste of bf16's 16-row tiles) and split to bf16 in-kernel:
 
-* fast (default): gathered features pass through bf16 once (the dot's
-  operand), accumulation is f32 — the same contract as the
-  TMDNET_MP_STORAGE=bf16 tier (~1e-3 relative force error).  Edge
-  weights stay f32.
-* precise: the window rides as a **hi/lo bf16 split** —
-  ``hi = bf16(x)``, ``lo = bf16(x − f32(hi))`` — and the gather runs as
-  two MXU passes (the one-hot matrix itself is exact in bf16, so
-  ``OTᵀ·hi + OTᵀ·lo`` recovers x to ~2^-16 relative).  Same for the
-  backward's cotangent fold.  This meets the reference parity bar
-  (rtol=atol=1e-4, ``/root/reference/tests/test_warp_ops.py:85-86``)
-  at ~2× the window DMA + gather-dot cost, still far under the XLA
-  HBM gather.
+* fast tier (default): one bf16 pass on the gathered features, f32
+  accumulation — the TMDNET_MP_STORAGE=bf16 contract (~1e-3 relative
+  force error).
+* precise tier (``spec.precise``): hi/lo split — ``hi = bf16(x)``,
+  ``lo = bf16(x − f32(hi))`` — two MXU passes recover x to ~2^-16
+  relative (the one-hot matrix is exact in bf16), meeting the reference
+  parity bar (rtol=atol=1e-4, ``tests/test_warp_ops.py:85-86``); the
+  backward's cotangent fold gets the same split.
 """
 
 import functools
@@ -52,10 +50,10 @@ def _dma_window(spec: CellBlockSpec, rs_ref, feats_hbm, win, sems):
     nr, rlh = spec.nr, spec.rlh
     copies = []
     for r in range(nr):
-        # run starts arrive in units of 16 rows: the explicit ·16 is the
+        # run starts arrive in units of 8 rows: the explicit ·8 is the
         # divisibility proof Mosaic needs to slice a tiled HBM ref at a
-        # dynamic offset (bf16 tiling is (16, 128)).
-        start = rs_ref[0, 0, r] * 16
+        # dynamic offset (f32 tiling is (8, 128)).
+        start = rs_ref[0, 0, r] * 8
         cp = pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, rlh), :],
             win.at[pl.ds(r * rlh, rlh), :],
@@ -65,6 +63,16 @@ def _dma_window(spec: CellBlockSpec, rs_ref, feats_hbm, win, sems):
         copies.append(cp)
     for cp in copies:
         cp.wait()
+
+
+def _split_window(spec: CellBlockSpec, win, hi, lo):
+    """bf16(-pair) planes of the f32 window, built once per block."""
+    w = win[:]
+    hi[:] = w.astype(jnp.bfloat16)
+    if spec.precise:
+        lo[:] = (w - hi[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        return (hi, lo)
+    return (hi,)
 
 
 def _gather_dot(ot, wins, d, f):
@@ -82,19 +90,18 @@ def _gather_dot(ot, wins, d, f):
 
 def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int, *refs):
     if spec.precise:
-        (rs_ref, rel_ref, attr_ref, hi_hbm, lo_hbm, out_ref,
-         win, win_lo, ot, sems, sems_lo) = refs
+        (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
+         win, hi, lo, ot, sems) = refs
     else:
-        (rs_ref, rel_ref, attr_ref, hi_hbm, out_ref, win, ot, sems) = refs
+        (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
+         win, hi, ot, sems) = refs
+        lo = None
     cap = spec.cap
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, hi_hbm, win, sems)
-    wins = (win,)
-    if spec.precise:
-        _dma_window(spec, rs_ref, lo_hbm, win_lo, sems_lo)
-        wins = (win, win_lo)
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
 
     # One-hot gather matrix, built once per block into a VMEM scratch
     # (recomputing it per irrep block would re-pay the [W, BK] compare 9×).
@@ -103,12 +110,12 @@ def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int, *refs):
     ot[:] = (iota_w == rel).astype(jnp.bfloat16)       # [W, BK]
 
     # Irrep-blocked: the full [BK, 9F] gathered/product tensors would not
-    # fit VMEM at real window sizes (20 MB at the 25k spec) — one F-wide
-    # block at a time keeps peak VMEM ~an order of magnitude lower.
+    # fit VMEM at real window sizes — one F-wide block at a time keeps
+    # peak VMEM ~an order of magnitude lower.
     attr = attr_ref[0]                                 # [BK, 3F] f32
     for d in range(9):
         widx = 0 if d == 0 else (1 if d < 4 else 2)
-        xj_d = _gather_dot(ot[:], wins, d, f)          # [BK, F] f32
+        xj_d = _gather_dot(ot[:], [p[:] for p in wins], d, f)
         prod = xj_d * attr[:, widx * f:(widx + 1) * f]
         # per-row segment sum over the K slots: rows are contiguous groups
         # of K edges, so a sublane-splitting reshape + sum keeps f32.
@@ -116,13 +123,63 @@ def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int, *refs):
             prod.reshape(cap, k, f), axis=1)
 
 
+def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
+    """Column-grouped forward: slots are statically partitioned per
+    stencil column (spec.col_slots), so each column's one-hot contracts
+    only that column's ``Wc = rpc·rlh`` window rows against its own
+    ``cap·k_s`` edges — gather FLOPs ∝ W/9 instead of W."""
+    if spec.precise:
+        (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
+         win, hi, lo, sems) = refs
+    else:
+        (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
+         win, hi, sems) = refs
+        lo = None
+    cap = spec.cap
+    wc = spec.rpc * spec.rlh
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]                                   # [cap, K'] int32
+    attr = attr_ref[0]                                 # [cap, K'·3F] f32
+    c3 = 3 * f
+    first = True
+    off = 0
+    for s, ks in enumerate(spec.col_slots):
+        if ks == 0:
+            continue
+        bks = cap * ks
+        rel_s = rel[:, off:off + ks].reshape(bks) - s * wc
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
+        ot_s = (iota_w == rel_s[None, :]).astype(jnp.bfloat16)
+        attr_s = attr[:, off * c3:(off + ks) * c3].reshape(bks, c3)
+        for d in range(9):
+            widx = 0 if d == 0 else (1 if d < 4 else 2)
+            xj_d = None
+            for p in wins:
+                part = jax.lax.dot_general(
+                    ot_s, p[s * wc:(s + 1) * wc, d * f:(d + 1) * f],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                xj_d = part if xj_d is None else xj_d + part
+            prod = xj_d * attr_s[:, widx * f:(widx + 1) * f]
+            contrib = jnp.sum(prod.reshape(cap, ks, f), axis=1)
+            if first:
+                out_ref[0, :, d * f:(d + 1) * f] = contrib
+            else:
+                out_ref[0, :, d * f:(d + 1) * f] += contrib
+        first = False
+        off += ks
+
+
 def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
                          spec: CellBlockSpec, interpret: bool = False):
     """msg[n] = Σ_k expand9(attr3f[n,k]) ⊙ feats9[window_rel_gather] for
     sorted-space inputs.  Shapes: attr3f [n_pad, K, 3F] (cutoff/pad mask
     already folded in), feats9 [n_pad, 9F], rel [n_pad, K],
-    run_starts [n_blocks, NR].  Returns [n_pad, 9F] (f32 accumulation,
-    one bf16 pass on the gathered features)."""
+    run_starts [n_blocks, NR].  Returns [n_pad, 9F] (f32 accumulation;
+    gather precision set by ``spec.precise``; grouped lowering when
+    ``spec.col_slots`` is set)."""
     n_pad, k, c3 = attr3f.shape
     f = c3 // 3
     c9 = 3 * c3
@@ -131,35 +188,44 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
     bk = cap * k
     assert n_pad == spec.n_pad and feats9.shape == (n_pad, c9)
 
-    rel_r = rel.reshape(n_blocks, 1, bk)
-    attr_r = attr3f.reshape(n_blocks, bk, c3)
+    grouped = spec.col_slots is not None
+    if grouped:
+        assert k == sum(spec.col_slots), (k, spec.col_slots)
+        rel_r = rel.reshape(n_blocks, cap, k)
+        attr_r = attr3f.reshape(n_blocks, cap, k * c3)
+        rel_spec = pl.BlockSpec((1, cap, k), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        attr_spec = pl.BlockSpec((1, cap, k * c3), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        kernel = functools.partial(_mp_kernel_grouped, spec, f)
+    else:
+        rel_r = rel.reshape(n_blocks, 1, bk)
+        attr_r = attr3f.reshape(n_blocks, bk, c3)
+        rel_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        attr_spec = pl.BlockSpec((1, bk, c3), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+        kernel = functools.partial(_mp_kernel, spec, f, n_pad)
 
     in_specs = [
         # run starts ride in SMEM one block-row at a time — a whole-
         # array scalar prefetch overflows the 1 MB SMEM at 25k blocks
         pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, bk, c3), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        rel_spec,
+        attr_spec,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
+        pltpu.VMEM((spec.window, c9), jnp.float32),
         pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-        pltpu.VMEM((spec.window, cap * k), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((spec.nr,)),
     ]
-    operands = [run_starts.reshape(n_blocks, 1, spec.nr) // 16,
-                rel_r, attr_r]
-    hi = feats9.astype(jnp.bfloat16)
-    operands.append(hi)
     if spec.precise:
-        in_specs.insert(4, pl.BlockSpec(memory_space=pl.ANY))
-        scratch.insert(1, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
-        scratch.append(pltpu.SemaphoreType.DMA((spec.nr,)))
-        operands.append((feats9 - hi.astype(jnp.float32))
-                        .astype(jnp.bfloat16))
+        scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
+    if not grouped:
+        # whole-window one-hot scratch, reused across the 9 irrep dots
+        scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
@@ -169,11 +235,12 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_mp_kernel, spec, f, n_pad),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         interpret=interpret,
-    )(*operands)
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+      rel_r, attr_r, feats9.astype(jnp.float32))
     return out.reshape(n_pad, c9)
 
 
@@ -182,19 +249,18 @@ def _dattr_kernel(spec: CellBlockSpec, f: int, *refs):
     the fold of the output cotangent back over the irrep blocks
     (blocked analogue of message_passing._pns_dattr)."""
     if spec.precise:
-        (rs_ref, rel_ref, g_ref, hi_hbm, lo_hbm, out_ref,
-         win, win_lo, ot, sems, sems_lo) = refs
+        (rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
+         win, hi, lo, ot, sems) = refs
     else:
-        (rs_ref, rel_ref, g_ref, hi_hbm, out_ref, win, ot, sems) = refs
+        (rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
+         win, hi, ot, sems) = refs
+        lo = None
     cap = spec.cap
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, hi_hbm, win, sems)
-    wins = (win,)
-    if spec.precise:
-        _dma_window(spec, rs_ref, lo_hbm, win_lo, sems_lo)
-        wins = (win, win_lo)
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
 
     rel = rel_ref[0]                                   # [1, BK]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -211,7 +277,7 @@ def _dattr_kernel(spec: CellBlockSpec, f: int, *refs):
     rep = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [BK, CAP]
     for d in range(9):
         widx = 0 if d == 0 else (1 if d < 4 else 2)
-        xj_d = _gather_dot(ot[:], wins, d, f)          # [BK, F] f32
+        xj_d = _gather_dot(ot[:], [p[:] for p in wins], d, f)
         g_d = g_b[:, d * f:(d + 1) * f]
         g_hi = g_d.astype(jnp.bfloat16)
         g_e = jax.lax.dot_general(                     # [BK, F] f32
@@ -230,6 +296,65 @@ def _dattr_kernel(spec: CellBlockSpec, f: int, *refs):
             out_ref[0, :, widx * f:(widx + 1) * f] += prod
 
 
+def _dattr_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
+    """Column-grouped dattr: per column, gather xj and fold the row
+    cotangent (repeated per edge by a 0/1 matmul), writing that column's
+    static lane slice of the [cap, K'·3F] output."""
+    if spec.precise:
+        (rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
+         win, hi, lo, sems) = refs
+    else:
+        (rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
+         win, hi, sems) = refs
+        lo = None
+    cap = spec.cap
+    wc = spec.rpc * spec.rlh
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]                                   # [cap, K']
+    g_b = g_ref[0]                                     # [cap, 9F] f32
+    c3 = 3 * f
+    off = 0
+    for s, ks in enumerate(spec.col_slots):
+        if ks == 0:
+            continue
+        bks = cap * ks
+        rel_s = rel[:, off:off + ks].reshape(bks) - s * wc
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
+        ot_s = (iota_w == rel_s[None, :]).astype(jnp.bfloat16)
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (bks, cap), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (bks, cap), 1)
+        rep = (iota_e // ks == iota_c).astype(jnp.bfloat16)
+        ch = [None, None, None]
+        for d in range(9):
+            widx = 0 if d == 0 else (1 if d < 4 else 2)
+            xj_d = None
+            for p in wins:
+                part = jax.lax.dot_general(
+                    ot_s, p[s * wc:(s + 1) * wc, d * f:(d + 1) * f],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                xj_d = part if xj_d is None else xj_d + part
+            g_d = g_b[:, d * f:(d + 1) * f]
+            g_hi = g_d.astype(jnp.bfloat16)
+            g_e = jax.lax.dot_general(
+                rep, g_hi, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if spec.precise:
+                g_e = g_e + jax.lax.dot_general(
+                    rep,
+                    (g_d - g_hi.astype(jnp.float32)).astype(jnp.bfloat16),
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            prod = g_e * xj_d
+            ch[widx] = prod if ch[widx] is None else ch[widx] + prod
+        cat = jnp.concatenate(ch, axis=1)              # [BKs, 3F]
+        out_ref[0, :, off * c3:(off + ks) * c3] = cat.reshape(
+            cap, ks * c3)
+        off += ks
+
+
 def blocked_dattr(g9, feats9, rel, run_starts, *,
                   spec: CellBlockSpec, interpret: bool = False):
     """∂attr3f of :func:`blocked_neighbor_sum`: [n_pad, K, 3F].  Invalid
@@ -241,46 +366,59 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
     k = rel.shape[1]
     bk = cap * k
 
-    rel_r = rel.reshape(n_blocks, 1, bk)
     g_r = g9.reshape(n_blocks, cap, c9)
+    grouped = spec.col_slots is not None
+    if grouped:
+        assert k == sum(spec.col_slots), (k, spec.col_slots)
+        rel_r = rel.reshape(n_blocks, cap, k)
+        rel_spec = pl.BlockSpec((1, cap, k), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, cap, k * 3 * f), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks, cap, k * 3 * f),
+                                         jnp.float32)
+        kernel = functools.partial(_dattr_kernel_grouped, spec, f)
+    else:
+        rel_r = rel.reshape(n_blocks, 1, bk)
+        rel_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, bk, 3 * f), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((n_blocks, bk, 3 * f),
+                                         jnp.float32)
+        kernel = functools.partial(_dattr_kernel, spec, f)
 
     in_specs = [
         pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
-        pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
+        rel_spec,
         pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
+        pltpu.VMEM((spec.window, c9), jnp.float32),
         pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-        pltpu.VMEM((spec.window, bk), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((spec.nr,)),
     ]
-    hi = feats9.astype(jnp.bfloat16)
-    operands = [run_starts.reshape(n_blocks, 1, spec.nr) // 16,
-                rel_r, g_r, hi]
     if spec.precise:
-        in_specs.insert(4, pl.BlockSpec(memory_space=pl.ANY))
-        scratch.insert(1, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
-        scratch.append(pltpu.SemaphoreType.DMA((spec.nr,)))
-        operands.append((feats9 - hi.astype(jnp.float32))
-                        .astype(jnp.bfloat16))
+        scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
+    if not grouped:
+        scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, bk, 3 * f), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_spec,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_dattr_kernel, spec, f),
+        kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, bk, 3 * f), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
-    )(*operands)
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+      rel_r, g_r, feats9.astype(jnp.float32))
     return out.reshape(n_pad, k, 3 * f)
 
 
@@ -290,8 +428,8 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
 #
 # First-order backward runs on the blocked kernels (the MD force pass).
 # Second order (force training) falls back to the XLA packed ops — the
-# blocked and packed ops compute the same function (up to the bf16
-# storage pass), and training batches are small-molecule workloads where
+# blocked and packed ops compute the same function (up to the gather
+# precision tier), and training batches are small-molecule workloads where
 # the gather path is fine.
 
 
