@@ -245,3 +245,30 @@ def test_fused_embedding_matches_reference_path():
         scale = max(1.0, float(np.abs(np.asarray(a0)).max()))
         np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
                                    rtol=0, atol=1e-4 * scale)
+
+
+def test_fused_embedding_kchunk_accumulation():
+    """K > _K_CHUNK exercises the in-kernel K-chunked accumulation (the
+    grouped neighbor layout's K' ~ 3K blew the whole-K kernel past the
+    scoped-VMEM limit at 25k) — kernel output must equal the jnp chain."""
+    from torchmdnet_tpu.ops import pallas_embedding as pe
+
+    rng = np.random.RandomState(5)
+    n, k, r, f = 16, 289, 8, 32  # k > 2*_K_CHUNK, non-multiple tail
+    assert k > 2 * pe._K_CHUNK
+    ea = jnp.asarray(rng.randn(n, k, r).astype(np.float32))
+    C = jnp.asarray(rng.rand(n, k).astype(np.float32))
+    vx, vy, vz = (jnp.asarray(rng.randn(n, k).astype(np.float32))
+                  for _ in range(3))
+    zw1 = jnp.asarray(rng.randn(n, f).astype(np.float32))
+    zw2g = jnp.asarray(rng.randn(n, k, f).astype(np.float32))
+    em = jnp.asarray((rng.rand(n, k) > 0.3).astype(np.float32))
+    kall = jnp.asarray(rng.randn(r, 3 * f).astype(np.float32))
+    ball = jnp.asarray(rng.randn(3 * f).astype(np.float32))
+
+    ref = pe.radial_embedding_jnp(ea, C, vx, vy, vz, zw1, zw2g, em,
+                                  kall, ball)
+    out = pe.fused_radial_embedding(ea, C, vx, vy, vz, zw1, zw2g, em,
+                                    kall, ball, True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)

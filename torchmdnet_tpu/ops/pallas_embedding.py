@@ -67,34 +67,48 @@ def radial_embedding_jnp(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
     return jnp.concatenate(blocks, axis=-1)
 
 
+# Largest K-chunk the kernel computes at once: the [TILE_N, kc, 3F] dp
+# plus the cz/w* temporaries must stay under the ~16 MB scoped-VMEM
+# limit (the grouped neighbor layout's K' ≈ 3K blew a whole-K kernel up
+# to ~50 MB at the 25k config).
+_K_CHUNK = 128
+
+
 def _emb_kernel(ea_ref, c_ref, vx_ref, vy_ref, vz_ref, zw1_ref, zw2g_ref,
                 em_ref, kall_ref, ball_ref, out_ref, *, k, r, f):
-    e = TILE_N * k
-    dp = jax.lax.dot_general(
-        ea_ref[:].reshape(e, r), kall_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=_kernel_prec(),
-    ) + ball_ref[:]
-    dp = dp.reshape(TILE_N, k, 3 * f)
-    cz = (c_ref[:][..., None]
-          * (zw1_ref[:][:, None, :] + zw2g_ref[:])
-          * em_ref[:][..., None])
-    w0 = cz * dp[..., :f]
-    w1 = cz * dp[..., f:2 * f]
-    w2 = cz * dp[..., 2 * f:]
-    vx, vy, vz = vx_ref[:], vy_ref[:], vz_ref[:]
-    tr3 = (vx * vx + vy * vy + vz * vz) / 3.0
-    blocks = [
-        jnp.sum(w0, axis=1),
-        jnp.sum(w1 * vx[..., None], axis=1),
-        jnp.sum(w1 * vy[..., None], axis=1),
-        jnp.sum(w1 * vz[..., None], axis=1),
-        jnp.sum(w2 * (vx * vx - tr3)[..., None], axis=1),
-        jnp.sum(w2 * (vx * vy)[..., None], axis=1),
-        jnp.sum(w2 * (vx * vz)[..., None], axis=1),
-        jnp.sum(w2 * (vy * vy - tr3)[..., None], axis=1),
-        jnp.sum(w2 * (vy * vz)[..., None], axis=1),
-    ]
-    out_ref[:] = jnp.concatenate(blocks, axis=-1)
+    zw1 = zw1_ref[:][:, None, :]
+    acc = None
+    for s in range(0, k, _K_CHUNK):
+        kc = min(_K_CHUNK, k - s)
+        sl = slice(s, s + kc)
+        dp = jax.lax.dot_general(
+            ea_ref[:, sl, :].reshape(TILE_N * kc, r), kall_ref[:],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=_kernel_prec(),
+        ) + ball_ref[:]
+        dp = dp.reshape(TILE_N, kc, 3 * f)
+        cz = (c_ref[:, sl][..., None]
+              * (zw1 + zw2g_ref[:, sl, :])
+              * em_ref[:, sl][..., None])
+        w0 = cz * dp[..., :f]
+        w1 = cz * dp[..., f:2 * f]
+        w2 = cz * dp[..., 2 * f:]
+        vx, vy, vz = vx_ref[:, sl], vy_ref[:, sl], vz_ref[:, sl]
+        tr3 = (vx * vx + vy * vy + vz * vz) / 3.0
+        blocks = [
+            jnp.sum(w0, axis=1),
+            jnp.sum(w1 * vx[..., None], axis=1),
+            jnp.sum(w1 * vy[..., None], axis=1),
+            jnp.sum(w1 * vz[..., None], axis=1),
+            jnp.sum(w2 * (vx * vx - tr3)[..., None], axis=1),
+            jnp.sum(w2 * (vx * vy)[..., None], axis=1),
+            jnp.sum(w2 * (vx * vz)[..., None], axis=1),
+            jnp.sum(w2 * (vy * vy - tr3)[..., None], axis=1),
+            jnp.sum(w2 * (vy * vz)[..., None], axis=1),
+        ]
+        part = jnp.concatenate(blocks, axis=-1)
+        acc = part if acc is None else acc + part
+    out_ref[:] = acc
 
 
 def _forward(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball,
