@@ -145,6 +145,13 @@ def _forward(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball,
         out_specs=pl.BlockSpec((TILE_N, 9 * f), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, 9 * f), jnp.float32),
+        # Mosaic's default 16 MB scoped-VMEM stack is too small once K
+        # exceeds one chunk (the unrolled chunk loop's temporaries stay
+        # live across iterations); the grouped layout's K' ≈ 3K needs
+        # ~32 MB at the 25k config.  v5e has 128 MB VMEM/core.
+        compiler_params=(
+            None if k <= _K_CHUNK else
+            pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)),
         interpret=interpret,
     )(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
       kall, ball.reshape(1, 3 * f))
