@@ -125,6 +125,16 @@ def _use_pallas(d):
     )
 
 
+def _cparams(k, f3):
+    """Mosaic's default scoped-VMEM stack is 16 MB; the [TILE_N, K, 3F]
+    intermediates (attr/basis/cos temporaries) pass it once K exceeds the
+    design K≈128 (grouped neighbor layouts run K' ≈ 3K) — raise the limit
+    (v5e has 128 MB VMEM/core)."""
+    if TILE_N * k * (f3 + 128) * 4 * 3 <= 15 * 1024 * 1024:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
+
 def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
     n, k = d.shape
     T, f3 = coeffs.shape
@@ -146,6 +156,7 @@ def _filter_impl(coeffs, d, fmask, lo, hi, interpret):
             out_specs=pl.BlockSpec((TILE_N, k, f3), lambda i: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, k, f3), jnp.float32),
+            compiler_params=_cparams(k, f3),
             interpret=interpret,
         )(th, fm, coeffs.astype(jnp.float32))
     # jnp fallback: same θ-form math (CPU tests, odd shapes)
@@ -173,6 +184,7 @@ def _project_impl(d, ctw, T, lo, hi, interpret):
             out_specs=pl.BlockSpec((T, f3), lambda i: (0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((T, f3), jnp.float32),
+            compiler_params=_cparams(k, f3),
             interpret=interpret,
         )(th, ctw.astype(jnp.float32))
     j = jnp.arange(T, dtype=jnp.float32)
@@ -239,6 +251,7 @@ def _filter_dot_impl(coeffs, d, fmask, ct, lo, hi, interpret):
             out_specs=pl.BlockSpec((TILE_N, k), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((n, k), jnp.float32),
+            compiler_params=_cparams(k, f3),
             interpret=interpret,
         )(th, fm, coeffs.astype(jnp.float32), ct.astype(jnp.float32))
     j = jnp.arange(T, dtype=jnp.float32)
