@@ -127,7 +127,12 @@ def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
     """Column-grouped forward: slots are statically partitioned per
     stencil column (spec.col_slots), so each column's one-hot contracts
     only that column's ``Wc = rpc·rlh`` window rows against its own
-    ``cap·k_s`` edges — gather FLOPs ∝ W/9 instead of W."""
+    ``cap·k_s`` edges — gather FLOPs ∝ W/9 instead of W.
+
+    Edges arrive COLUMN-MAJOR (host pre-transpose: e = slot·cap + row):
+    per-column slices are then static sublane/lane ranges — the row-major
+    [cap, ks] → [cap·ks] flatten is a sublane-collapsing shape cast
+    Mosaic cannot lower (measured 2026-08-19 on v5e)."""
     if spec.precise:
         (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
          win, hi, lo, sems) = refs
@@ -140,19 +145,18 @@ def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
     _dma_window(spec, rs_ref, feats_hbm, win, sems)
     wins = _split_window(spec, win, hi, lo)
 
-    rel = rel_ref[0]                                   # [cap, K'] int32
-    attr = attr_ref[0]                                 # [cap, K'·3F] f32
-    c3 = 3 * f
+    rel = rel_ref[0]                                   # [1, K'·cap] int32
+    attr = attr_ref[0]                                 # [K'·cap, 3F] f32
     first = True
     off = 0
     for s, ks in enumerate(spec.col_slots):
         if ks == 0:
             continue
         bks = cap * ks
-        rel_s = rel[:, off:off + ks].reshape(bks) - s * wc
+        rel_s = rel[:, off * cap:(off + ks) * cap] - s * wc   # [1, bks]
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
-        ot_s = (iota_w == rel_s[None, :]).astype(jnp.bfloat16)
-        attr_s = attr[:, off * c3:(off + ks) * c3].reshape(bks, c3)
+        ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
+        attr_s = attr[off * cap:(off + ks) * cap, :]          # [bks, 3F]
         for d in range(9):
             widx = 0 if d == 0 else (1 if d < 4 else 2)
             xj_d = None
@@ -163,7 +167,9 @@ def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
                     preferred_element_type=jnp.float32)
                 xj_d = part if xj_d is None else xj_d + part
             prod = xj_d * attr_s[:, widx * f:(widx + 1) * f]
-            contrib = jnp.sum(prod.reshape(cap, ks, f), axis=1)
+            # sublane-splitting reshape (slot-major edge order): sum
+            # over this column's slots per row
+            contrib = jnp.sum(prod.reshape(ks, cap, f), axis=0)
             if first:
                 out_ref[0, :, d * f:(d + 1) * f] = contrib
             else:
@@ -191,11 +197,17 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
     grouped = spec.col_slots is not None
     if grouped:
         assert k == sum(spec.col_slots), (k, spec.col_slots)
-        rel_r = rel.reshape(n_blocks, cap, k)
-        attr_r = attr3f.reshape(n_blocks, cap, k * c3)
-        rel_spec = pl.BlockSpec((1, cap, k), lambda i: (i, 0, 0),
+        assert cap % 8 == 0, "grouped tier: cap must be 8-aligned (f32 " \
+            "sublane slicing at off*cap offsets)"
+        # column-major edge order (e = slot·cap + row): per-column slices
+        # are static ranges in-kernel, no Mosaic-unsupported reshapes
+        rel_r = rel.reshape(n_blocks, cap, k).transpose(0, 2, 1) \
+                   .reshape(n_blocks, 1, k * cap)
+        attr_r = attr3f.reshape(n_blocks, cap, k, c3) \
+                       .transpose(0, 2, 1, 3).reshape(n_blocks, k * cap, c3)
+        rel_spec = pl.BlockSpec((1, 1, k * cap), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        attr_spec = pl.BlockSpec((1, cap, k * c3), lambda i: (i, 0, 0),
+        attr_spec = pl.BlockSpec((1, k * cap, c3), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)
         kernel = functools.partial(_mp_kernel_grouped, spec, f)
     else:
@@ -312,20 +324,22 @@ def _dattr_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
     _dma_window(spec, rs_ref, feats_hbm, win, sems)
     wins = _split_window(spec, win, hi, lo)
 
-    rel = rel_ref[0]                                   # [cap, K']
+    rel = rel_ref[0]                                   # [1, K'·cap]
     g_b = g_ref[0]                                     # [cap, 9F] f32
-    c3 = 3 * f
     off = 0
     for s, ks in enumerate(spec.col_slots):
         if ks == 0:
             continue
         bks = cap * ks
-        rel_s = rel[:, off:off + ks].reshape(bks) - s * wc
+        rel_s = rel[:, off * cap:(off + ks) * cap] - s * wc   # [1, bks]
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
-        ot_s = (iota_w == rel_s[None, :]).astype(jnp.bfloat16)
+        ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
+        # row(e) = e % cap in the column-major edge order; build the
+        # row-repeat 0/1 matrix from iota arithmetic (no modulo op)
         iota_e = jax.lax.broadcasted_iota(jnp.int32, (bks, cap), 0)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (bks, cap), 1)
-        rep = (iota_e // ks == iota_c).astype(jnp.bfloat16)
+        rep = (iota_e - (iota_e // cap) * cap == iota_c).astype(
+            jnp.bfloat16)
         ch = [None, None, None]
         for d in range(9):
             widx = 0 if d == 0 else (1 if d < 4 else 2)
@@ -350,8 +364,7 @@ def _dattr_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
             prod = g_e * xj_d
             ch[widx] = prod if ch[widx] is None else ch[widx] + prod
         cat = jnp.concatenate(ch, axis=1)              # [BKs, 3F]
-        out_ref[0, :, off * c3:(off + ks) * c3] = cat.reshape(
-            cap, ks * c3)
+        out_ref[0, off * cap:(off + ks) * cap, :] = cat
         off += ks
 
 
@@ -370,12 +383,14 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
     grouped = spec.col_slots is not None
     if grouped:
         assert k == sum(spec.col_slots), (k, spec.col_slots)
-        rel_r = rel.reshape(n_blocks, cap, k)
-        rel_spec = pl.BlockSpec((1, cap, k), lambda i: (i, 0, 0),
+        assert cap % 8 == 0, "grouped tier: cap must be 8-aligned"
+        rel_r = rel.reshape(n_blocks, cap, k).transpose(0, 2, 1) \
+                   .reshape(n_blocks, 1, k * cap)
+        rel_spec = pl.BlockSpec((1, 1, k * cap), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, cap, k * 3 * f), lambda i: (i, 0, 0),
+        out_spec = pl.BlockSpec((1, k * cap, 3 * f), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct((n_blocks, cap, k * 3 * f),
+        out_shape = jax.ShapeDtypeStruct((n_blocks, k * cap, 3 * f),
                                          jnp.float32)
         kernel = functools.partial(_dattr_kernel_grouped, spec, f)
     else:
@@ -419,6 +434,8 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
         interpret=interpret,
     )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
       rel_r, g_r, feats9.astype(jnp.float32))
+    if grouped:
+        out = out.reshape(n_blocks, k, cap, 3 * f).transpose(0, 2, 1, 3)
     return out.reshape(n_pad, k, 3 * f)
 
 
