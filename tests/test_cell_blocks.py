@@ -300,3 +300,50 @@ def test_blocked_asym_grads_match_packed():
         b, p = np.asarray(b), np.asarray(p)
         scale = np.abs(p).max() + 1e-30
         assert np.abs(b - p).max() / scale < 3e-2, name
+
+
+@pytest.mark.parametrize("grouped", [True, False])
+def test_blocked_cheb_fused_matches_unfused(grouped):
+    """Fused in-kernel cheb attr (blocked_neighbor_sum_sym_cheb) vs the
+    unfused pipeline (cheb_filter → blocked_neighbor_sum_sym): values and
+    (d, feats) gradients.  Precise tier → 1e-4 relative."""
+    from torchmdnet_tpu.ops.pallas_blocked_mp import (
+        blocked_neighbor_sum_sym,
+        blocked_neighbor_sum_sym_cheb,
+    )
+    from torchmdnet_tpu.ops.pallas_cheb import cheb_filter
+
+    f, T, hi = 16, 32, 3.2
+    if grouped:
+        spec, blocks, nbr, rel, _, feats = _grouped_setup(f=f)
+    else:
+        spec, blocks, nbr, rel, _, feats = _blocked_setup(f=f)
+        spec = spec._replace(precise=True)
+    n_pad, kp = rel.shape
+    rng = np.random.RandomState(7)
+    d = jnp.asarray(rng.uniform(0.2, hi * 1.1, (n_pad, kp))
+                    .astype(np.float32))
+    fm = (jnp.asarray(nbr.mask) & (d < hi)).astype(jnp.float32)
+    coeffs = jnp.asarray(rng.randn(T, 3 * f).astype(np.float32) / T)
+
+    def loss_fused(dd, x):
+        out = blocked_neighbor_sum_sym_cheb(
+            coeffs, dd, fm, x, rel, blocks.run_starts, spec, 0.0, hi,
+            True)
+        return jnp.sum(out * jnp.cos(out * 0.1)), out
+
+    def loss_unfused(dd, x):
+        attr = cheb_filter(coeffs, dd, fm, 0.0, hi)
+        out = blocked_neighbor_sum_sym(attr, x, rel, blocks.run_starts,
+                                       spec, True)
+        return jnp.sum(out * jnp.cos(out * 0.1)), out
+
+    (gf, of), (gu, ou) = (
+        jax.grad(fn, argnums=(0, 1), has_aux=True)(d, feats)
+        for fn in (loss_fused, loss_unfused))
+    scale = np.abs(np.asarray(ou)).max()
+    assert np.abs(np.asarray(of) - np.asarray(ou)).max() / scale < 1e-4
+    for b, p, name in zip(gf, gu, ("dd", "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        s = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / s < 2e-4, (name, np.abs(b - p).max() / s)

@@ -250,6 +250,7 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
+        compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
     )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
       rel_r, attr_r, feats9.astype(jnp.float32))
@@ -431,6 +432,7 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
+        compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
     )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
       rel_r, g_r, feats9.astype(jnp.float32))
@@ -515,3 +517,454 @@ def blocked_neighbor_sum_asym(attr3f, attr_rev, feats9, rel, run_starts,
     VJP only."""
     _, asym = _make_blocked_ops(spec, interpret)
     return asym(attr3f, attr_rev, feats9, rel, run_starts)
+
+
+# ---------------------------------------------------------------------------
+# Fused Chebyshev-attr tier: the edge weights are evaluated IN-KERNEL from
+# the tabulated series (ops/pallas_cheb.py semantics), so the [N, K, 3F]
+# attr tensor never exists in HBM.  At the 25k/K=96 config that tensor is
+# 3.8 GB written+read per MP pass (cheb filter 93 ms/step of the 634 ms
+# gather trace); at the grouped layout's K' ≈ 3K it is 11.6 GB — beyond
+# HBM — so this fusion is what makes the grouped tier *possible* at 25k.
+#
+# Layout discipline (everything derived to avoid Mosaic transposes):
+# θ/fmask ride the same flat edge layout as rel ([1, BK] lane-major).
+# The basis is built TRANSPOSED — basisT[j, e] = cos(j·θ_e) — by
+# broadcasting θ over sublanes; the attr recovery
+# ``attr = dot(basisT, coeffs, contract j)`` → [BK, 3F] gets the
+# transpose for free inside the MXU contraction.  fmask is folded into
+# basisT columns (scales attr rows).  The backward works entirely in
+# transposed [3F, BK] form and reduces over sublanes to emit the
+# d-cotangent as a lane vector.
+#
+# First-order VJP, MD-only contract: coeffs/dser receive ZERO gradients
+# (MD differentiates positions only); force *training* uses the packed
+# XLA path (tensornet.py picks this op only under ``blocked``).
+# ---------------------------------------------------------------------------
+
+
+def _basis_t(th_s, fm_s, T):
+    """Masked transposed Chebyshev basis for one edge slice:
+    [T, bks] = fm_e · cos(j·θ_e).  ``th_s``/``fm_s`` are [1, bks]."""
+    _, bks = th_s.shape
+    j = jax.lax.broadcasted_iota(jnp.int32, (T, bks), 0).astype(jnp.float32)
+    return jnp.cos(j * th_s) * fm_s
+
+
+def _attr_prec(spec: CellBlockSpec):
+    # fast tier: one bf16 MXU pass on the basis/coeffs dot (the basis is
+    # O(1)-magnitude cosines; matches the window's storage contract).
+    # precise tier: f32-accurate passes.
+    return (jax.lax.Precision.HIGHEST if spec.precise
+            else jax.lax.Precision.DEFAULT)
+
+
+def _mp_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
+    """Whole-window fused forward (ungrouped): one-hot gather over the
+    full window + in-kernel cheb attr."""
+    if spec.precise:
+        (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
+         win, hi, lo, ot, sems) = refs
+    else:
+        (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
+         win, hi, ot, sems) = refs
+        lo = None
+    cap = spec.cap
+    w = spec.window
+    bk = rel_ref.shape[-1]
+    k = bk // cap
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]                                    # [1, BK]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
+    ot[:] = (iota_w == rel).astype(jnp.bfloat16)
+
+    bT = _basis_t(th_ref[0], fm_ref[0], T)              # [T, BK]
+    attr = jax.lax.dot_general(
+        bT, co_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_attr_prec(spec))                     # [BK, 3F]
+    for d in range(9):
+        widx = 0 if d == 0 else (1 if d < 4 else 2)
+        xj_d = _gather_dot(ot[:], [p[:] for p in wins], d, f)
+        prod = xj_d * attr[:, widx * f:(widx + 1) * f]
+        out_ref[0, :, d * f:(d + 1) * f] = jnp.sum(
+            prod.reshape(cap, k, f), axis=1)
+
+
+def _mp_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
+    """Column-grouped fused forward: per-column one-hot gather (FLOPs ∝
+    W/9) + in-kernel cheb attr.  Edge arrays are column-major
+    (e = slot·cap + row)."""
+    if spec.precise:
+        (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
+         win, hi, lo, sems) = refs
+    else:
+        (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
+         win, hi, sems) = refs
+        lo = None
+    cap = spec.cap
+    wc = spec.rpc * spec.rlh
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]                                    # [1, K'·cap]
+    th = th_ref[0]
+    fm = fm_ref[0]
+    first = True
+    off = 0
+    for s, ks in enumerate(spec.col_slots):
+        if ks == 0:
+            continue
+        bks = cap * ks
+        sl0, sl1 = off * cap, (off + ks) * cap
+        rel_s = rel[:, sl0:sl1] - s * wc                # [1, bks]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
+        ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
+        bT = _basis_t(th[:, sl0:sl1], fm[:, sl0:sl1], T)
+        attr_s = jax.lax.dot_general(
+            bT, co_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_attr_prec(spec))                 # [bks, 3F]
+        for d in range(9):
+            widx = 0 if d == 0 else (1 if d < 4 else 2)
+            xj_d = None
+            for p in wins:
+                part = jax.lax.dot_general(
+                    ot_s, p[s * wc:(s + 1) * wc, d * f:(d + 1) * f],
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                xj_d = part if xj_d is None else xj_d + part
+            prod = xj_d * attr_s[:, widx * f:(widx + 1) * f]
+            contrib = jnp.sum(prod.reshape(ks, cap, f), axis=0)
+            if first:
+                out_ref[0, :, d * f:(d + 1) * f] = contrib
+            else:
+                out_ref[0, :, d * f:(d + 1) * f] += contrib
+        first = False
+        off += ks
+
+
+def _dd_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
+    """Whole-window fused d-cotangent: dd[e] = Σ_c dattr[e,c]·G'[e,c]
+    computed in transposed [3F, BK] form; dattr = Σ_d g_row ⊙ xj (the
+    _dattr_kernel fold), G' = dot(basisT, dser)."""
+    if spec.precise:
+        (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
+         out_ref, win, hi, lo, ot, sems) = refs
+    else:
+        (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
+         out_ref, win, hi, ot, sems) = refs
+        lo = None
+    cap = spec.cap
+    w = spec.window
+    bk = rel_ref.shape[-1]
+    k = bk // cap
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
+    ot[:] = (iota_w == rel).astype(jnp.bfloat16)
+
+    bT = _basis_t(th_ref[0], fm_ref[0], T)              # [T, BK]
+    gpT = jax.lax.dot_general(
+        ds_ref[:], bT, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=_attr_prec(spec))                     # [3F, BK]
+
+    g_b = g_ref[0]                                      # [cap, 9F]
+    # repT[c, e] = (row(e) == c), row(e) = e // k (row-major edge order)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 0)
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 1)
+    repT = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [cap, BK]
+    ch = [None, None, None]
+    for d in range(9):
+        widx = 0 if d == 0 else (1 if d < 4 else 2)
+        xj_dT = None
+        for p in wins:
+            part = jax.lax.dot_general(
+                p[:, d * f:(d + 1) * f], ot[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)     # [F, BK]
+            xj_dT = part if xj_dT is None else xj_dT + part
+        g_d = g_b[:, d * f:(d + 1) * f]                 # [cap, F]
+        g_hi = g_d.astype(jnp.bfloat16)
+        g_eT = jax.lax.dot_general(
+            g_hi, repT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [F, BK]
+        if spec.precise:
+            g_eT = g_eT + jax.lax.dot_general(
+                (g_d - g_hi.astype(jnp.float32)).astype(jnp.bfloat16),
+                repT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+        prodT = g_eT * xj_dT
+        ch[widx] = prodT if ch[widx] is None else ch[widx] + prodT
+    dattrT = jnp.concatenate(ch, axis=0)                # [3F, BK]
+    out_ref[0] = jnp.sum(dattrT * gpT, axis=0, keepdims=True)
+
+
+def _dd_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
+    """Column-grouped fused d-cotangent (column-major edge order)."""
+    if spec.precise:
+        (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
+         out_ref, win, hi, lo, sems) = refs
+    else:
+        (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
+         out_ref, win, hi, sems) = refs
+        lo = None
+    cap = spec.cap
+    wc = spec.rpc * spec.rlh
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]
+    th = th_ref[0]
+    fm = fm_ref[0]
+    g_b = g_ref[0]                                      # [cap, 9F]
+    off = 0
+    for s, ks in enumerate(spec.col_slots):
+        if ks == 0:
+            continue
+        bks = cap * ks
+        sl0, sl1 = off * cap, (off + ks) * cap
+        rel_s = rel[:, sl0:sl1] - s * wc
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
+        ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
+        bT = _basis_t(th[:, sl0:sl1], fm[:, sl0:sl1], T)
+        gpT = jax.lax.dot_general(
+            ds_ref[:], bT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_attr_prec(spec))                 # [3F, bks]
+        # row(e) = e % cap (column-major edge order)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bks), 0)
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bks), 1)
+        repT = (iota_e - (iota_e // cap) * cap == iota_c).astype(
+            jnp.bfloat16)                               # [cap, bks]
+        ch = [None, None, None]
+        for d in range(9):
+            widx = 0 if d == 0 else (1 if d < 4 else 2)
+            xj_dT = None
+            for p in wins:
+                part = jax.lax.dot_general(
+                    p[s * wc:(s + 1) * wc, d * f:(d + 1) * f], ot_s,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)  # [F, bks]
+                xj_dT = part if xj_dT is None else xj_dT + part
+            g_d = g_b[:, d * f:(d + 1) * f]
+            g_hi = g_d.astype(jnp.bfloat16)
+            g_eT = jax.lax.dot_general(
+                g_hi, repT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            if spec.precise:
+                g_eT = g_eT + jax.lax.dot_general(
+                    (g_d - g_hi.astype(jnp.float32)).astype(jnp.bfloat16),
+                    repT, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            prodT = g_eT * xj_dT
+            ch[widx] = prodT if ch[widx] is None else ch[widx] + prodT
+        dattrT = jnp.concatenate(ch, axis=0)            # [3F, bks]
+        out_ref[0, :, sl0:sl1] = jnp.sum(dattrT * gpT, axis=0,
+                                         keepdims=True)
+        off += ks
+
+
+def _cheb_vmem_params(spec: CellBlockSpec, f: int):
+    # whole-window one-hot [W, BK] bf16 + window planes + transposed
+    # intermediates routinely pass the 16 MB default at real specs
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _cheb_edge_layout(x, spec: CellBlockSpec, k):
+    """[n_pad, K] edge array → per-block flat layout matching rel:
+    row-major [n_blocks, 1, BK] (ungrouped) or column-major
+    [n_blocks, 1, K·cap] (grouped)."""
+    n_blocks, cap = spec.n_blocks, spec.cap
+    if spec.col_slots is not None:
+        return x.reshape(n_blocks, cap, k).transpose(0, 2, 1) \
+                .reshape(n_blocks, 1, k * cap)
+    return x.reshape(n_blocks, 1, cap * k)
+
+
+def blocked_neighbor_sum_cheb(coeffs, theta, fmask, feats9, rel,
+                              run_starts, *, spec: CellBlockSpec,
+                              interpret: bool = False):
+    """msg[n] = Σ_k (fm·cheb(θ))[n,k,·] ⊙ feats9[window gather] with the
+    attr evaluated in-kernel.  ``coeffs`` [T, 3F] (T Chebyshev terms),
+    ``theta``/``fmask`` [n_pad, K] f32 (θ = arccos of the scaled
+    distance, computed by XLA — Mosaic has no acos)."""
+    n_pad, k = rel.shape
+    T, c3 = coeffs.shape
+    f = c3 // 3
+    c9 = 3 * c3
+    cap = spec.cap
+    n_blocks = spec.n_blocks
+    bk = cap * k
+    assert feats9.shape == (n_pad, c9) and n_pad == spec.n_pad
+
+    grouped = spec.col_slots is not None
+    if grouped:
+        assert k == sum(spec.col_slots) and cap % 8 == 0
+        kernel = functools.partial(_mp_kernel_grouped_cheb, spec, f, T)
+    else:
+        kernel = functools.partial(_mp_kernel_cheb, spec, f, T)
+    flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        flat_spec, flat_spec, flat_spec,
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # coeffs whole
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((spec.window, c9), jnp.float32),
+        pltpu.VMEM((spec.window, c9), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.nr,)),
+    ]
+    if spec.precise:
+        scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
+    if not grouped:
+        scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
+        compiler_params=_cheb_vmem_params(spec, f),
+        interpret=interpret,
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+      _cheb_edge_layout(theta.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(fmask.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(rel, spec, k),
+      coeffs.astype(jnp.float32),
+      feats9.astype(jnp.float32))
+    return out.reshape(n_pad, c9)
+
+
+def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
+                    spec: CellBlockSpec, interpret: bool = False):
+    """x-cotangent of :func:`blocked_neighbor_sum_cheb` w.r.t. the scaled
+    distance: dd[n,k] = Σ_c dattr[n,k,c]·(Σ_j dser[j]·cos(jθ))[c]·fm —
+    the caller applies the 2/(hi−lo) chain factor.  ``dser`` [T, 3F] from
+    ``ops.pallas_cheb.cheb_deriv_coeffs``."""
+    n_pad, c9 = g9.shape
+    f = c9 // 9
+    T = dser.shape[0]
+    cap = spec.cap
+    n_blocks = spec.n_blocks
+    k = rel.shape[1]
+    bk = cap * k
+
+    grouped = spec.col_slots is not None
+    if grouped:
+        assert k == sum(spec.col_slots) and cap % 8 == 0
+        kernel = functools.partial(_dd_kernel_grouped_cheb, spec, f, T)
+    else:
+        kernel = functools.partial(_dd_kernel_cheb, spec, f, T)
+    flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        flat_spec, flat_spec, flat_spec,
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # dser whole
+        pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((spec.window, c9), jnp.float32),
+        pltpu.VMEM((spec.window, c9), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.nr,)),
+    ]
+    if spec.precise:
+        scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
+    if not grouped:
+        scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, 1, bk), jnp.float32),
+        compiler_params=_cheb_vmem_params(spec, f),
+        interpret=interpret,
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+      _cheb_edge_layout(theta.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(fmask.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(rel, spec, k),
+      dser.astype(jnp.float32),
+      g9.reshape(n_blocks, cap, c9),
+      feats9.astype(jnp.float32))
+    if grouped:
+        return out.reshape(n_blocks, k, cap).transpose(0, 2, 1) \
+                  .reshape(n_pad, k)
+    return out.reshape(n_pad, k)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blocked_cheb_op(spec: CellBlockSpec, lo: float, hi: float,
+                          interpret: bool):
+    """Differentiable fused-cheb symmetric MP (first-order, MD force
+    path).  Gradients flow to the DISTANCE argument and the features
+    only; coeffs are treated as constants (zero cotangent) — parameter
+    training uses the packed XLA path."""
+    from torchmdnet_tpu.ops.pallas_cheb import cheb_deriv_coeffs
+
+    def _theta(d):
+        x = jnp.clip(2.0 * (d.astype(jnp.float32) - lo) / (hi - lo) - 1.0,
+                     -1.0, 1.0)
+        return jnp.arccos(x)
+
+    def _fwd(coeffs, d, fmask, feats9, rel, run_starts):
+        return blocked_neighbor_sum_cheb(
+            coeffs, _theta(d), fmask, feats9, rel, run_starts,
+            spec=spec, interpret=interpret)
+
+    @jax.custom_vjp
+    def sym_cheb(coeffs, d, fmask, feats9, rel, run_starts):
+        return _fwd(coeffs, d, fmask, feats9, rel, run_starts)
+
+    def fwd(coeffs, d, fmask, feats9, rel, run_starts):
+        return _fwd(coeffs, d, fmask, feats9, rel, run_starts), (
+            coeffs, d, fmask, feats9, rel, run_starts)
+
+    def bwd(res, g):
+        coeffs, d, fmask, feats9, rel, run_starts = res
+        # edge-symmetric weights: the feature backward is the forward
+        # operator applied to the cotangent (see blocked_neighbor_sum_sym)
+        dfeats = _fwd(coeffs, d, fmask, g, rel, run_starts)
+        dd = blocked_dd_cheb(
+            cheb_deriv_coeffs(coeffs), _theta(d), fmask, g, feats9, rel,
+            run_starts, spec=spec, interpret=interpret)
+        dd = (dd * (2.0 / (hi - lo))).astype(d.dtype)
+        return jnp.zeros_like(coeffs), dd, None, dfeats, None, None
+
+    sym_cheb.defvjp(fwd, bwd)
+    return sym_cheb
+
+
+def blocked_neighbor_sum_sym_cheb(coeffs, d, fmask, feats9, rel,
+                                  run_starts, spec: CellBlockSpec,
+                                  lo: float, hi: float,
+                                  interpret: bool = False):
+    """Symmetric blocked MP with in-kernel tabulated edge weights:
+    functionally ``blocked_neighbor_sum_sym(fm·cheb_filter(coeffs, d),
+    feats9, ...)`` with no [N, K, 3F] materialization.  First-order VJP
+    (positions + features); coeffs get zero gradient — MD only."""
+    return _make_blocked_cheb_op(spec, float(lo), float(hi), interpret)(
+        coeffs, d, fmask, feats9, rel, run_starts)
