@@ -26,6 +26,7 @@ ops/neighbors.py) — callers fall back to the gather path or rebuild with
 larger static knobs.
 """
 
+import math
 from functools import partial
 from typing import NamedTuple, Optional
 
@@ -202,7 +203,14 @@ def tune_cell_block_spec(
             "(pathological density concentration?)")
     nr2 = (blocks.e2 - blocks.a2 + probe.rlh - 1) // probe.rlh
     used = int(jax.device_get(jnp.max(blocks.nr1 + nr2)))
-    spec = probe._replace(rpc=max(used + slack_runs, 2), precise=precise)
+    rpc = max(used + slack_runs, 2)
+    if column_slots:
+        # Mosaic alignment for the grouped kernels' per-column window
+        # slices `win[s*wc:(s+1)*wc]`: the window parts are bf16 (sublane
+        # tile 16), so wc = rpc·rlh must be a multiple of 16.
+        while (rpc * rlh) % 16:
+            rpc += 1
+    spec = probe._replace(rpc=rpc, precise=precise)
     if not column_slots:
         return spec
     # Measure per-stencil-column slot budgets on the concrete geometry
@@ -263,7 +271,13 @@ def tune_column_slots(blocks: "CellBlocks", idx, mask, pos_s, box_diag,
     eq = scol[blk][:, None, :] == jcol[:, :, None]    # [n_pad, K, 9]
     counts = jnp.sum(eq & mask[:, :, None], axis=1)   # [n_pad, 9]
     maxima = jax.device_get(jnp.max(counts, axis=0))
-    return tuple(int(m) + slack for m in maxima)
+    # Mosaic alignment: the grouped kernels slice the packed edge arrays
+    # on the LANE axis at offsets off·cap; every group boundary must land
+    # on a 128-lane tile, so each budget is rounded up to cap·ks ≡ 0
+    # (mod 128).  (cap ∈ {8,16,32,...} divides 128.)
+    lane_q = max(128 // math.gcd(cap, 128), 1)
+    return tuple(int(np.ceil((int(m) + slack) / lane_q)) * lane_q
+                 for m in maxima)
 
 
 def _column_bins(pos, box_diag, spec: CellBlockSpec):

@@ -968,3 +968,464 @@ def blocked_neighbor_sum_sym_cheb(coeffs, d, fmask, feats9, rel,
     (positions + features); coeffs get zero gradient — MD only."""
     return _make_blocked_cheb_op(spec, float(lo), float(hi), interpret)(
         coeffs, d, fmask, feats9, rel, run_starts)
+
+
+# ---------------------------------------------------------------------------
+# Fused charge-fold edge-MLP tier ("q-tier", TensorNet2): the per-edge
+# 2-layer MLP tail of the charge-fold edge filter (models/tensornet2.py
+# Interaction2; reference ``torchmdnet/models/tensornet.py`` TensorNet2
+# interaction) is evaluated IN-KERNEL:
+#
+#     pre1[e] = (rbf·W1a)[e] + u_i[row(e)] + u_j[col(e)]
+#     attr[e] = silu(silu(silu(pre1)·W2+b2)·W3+b3) · (C·mask)[e]
+#     out[n]  = Σ_k attr ⊙ feats9[window gather]
+#
+# so neither ``attr`` nor ``attr_rev`` ([N, K, 3F] ×2 = 7.4 GB/pass at the
+# 25k north-star config — measured to make the round-2 blocked tier LOSE
+# to the XLA gather, 1403.8 vs 1296 ms/MD-step) ever exists in HBM.  The
+# rbf projection rides transposed ([n_blocks, R, BK], R=num_rbf lanes-safe)
+# and the cutoff·mask factor is folded into the one-hot gather matrix
+# (attr·cw ⊙ xj ≡ attr ⊙ cw·xj), which keeps every in-kernel array either
+# row-major [BK, ·] or lane-broadcastable [1, BK].
+#
+# u_j (and, for the reverse-weight pass, u_i) is gathered IN-KERNEL from
+# an extra F-wide column block appended to the feature window — one DMA
+# serves both the irrep features and the node charge terms.
+#
+# The backward kernel recomputes the chain TRANSPOSED ([·, BK], edges on
+# lanes, exactly the _dd_kernel_cheb discipline) so the per-edge scalars
+# (d(C·mask), and the rbf cotangent [R, BK]) come out as lane vectors with
+# no Mosaic transposes; dpre1 is written to HBM once ([n_blocks, F, BK])
+# and XLA finishes the cheap linear tails: du_i = Σ_k dpre1 (row sum) and
+# du_j = Σ_k dpre1[idx, rev_slot] (the slot-involution reverse gather).
+#
+# First-order VJP, MD-only contract: W1a/W2/b2/W3/b3 receive ZERO
+# gradients (MD differentiates positions/charges only); force *training*
+# uses the packed XLA path (tensornet2.py picks this op only under
+# ``blocked``).
+# ---------------------------------------------------------------------------
+
+
+def _dsilu(x):
+    """silu'(x) = σ(x)·(1 + x·(1 − σ(x)))."""
+    s = jax.nn.sigmoid(x)
+    return s * (1.0 + x * (1.0 - s))
+
+
+def _q_prec(spec: CellBlockSpec):
+    return (jax.lax.Precision.HIGHEST if spec.precise
+            else jax.lax.Precision.DEFAULT)
+
+
+def _rep_dot(rep_b, vals, precise):
+    """[E, cap] 0/1 (exact bf16) · [cap, F] values → [E, F] f32; precise
+    adds the bf16 lo-plane of the values."""
+    v_hi = vals.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(rep_b, v_hi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if precise:
+        out = out + jax.lax.dot_general(
+            rep_b, (vals - v_hi.astype(jnp.float32)).astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return out
+
+
+def _rep_dot_t(vals, rep_t, precise):
+    """[cap, F] values · [cap, E] 0/1 → [F, E] f32 (transposed form)."""
+    v_hi = vals.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(v_hi, rep_t, (((0,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if precise:
+        out = out + jax.lax.dot_general(
+            (vals - v_hi.astype(jnp.float32)).astype(jnp.bfloat16), rep_t,
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return out
+
+
+def _plane_dot_cols(ots, wins, c0, c1, transposed=False):
+    """Σ over one-hot/window plane pairs (lo·lo dropped — O(2^-32)) of
+    ot ᵀ· win[:, c0:c1] (row-major [E, c]) or winᵀ(cols)·ot ([c, E])."""
+    out = None
+    for i, o in enumerate(ots):
+        for j, p in enumerate(wins):
+            if i + j > 1:
+                continue  # lo·lo
+            if transposed:
+                part = jax.lax.dot_general(
+                    p[:, c0:c1], o, (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                part = jax.lax.dot_general(
+                    o, p[:, c0:c1], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            out = part if out is None else out + part
+    return out
+
+
+def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, *refs):
+    """Fused charge-fold forward (ungrouped, row-major chain)."""
+    if spec.precise:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
+         b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
+         win, hi, lo, ot, ot2, sems) = refs
+    else:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
+         b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
+         win, hi, ot, sems) = refs
+        lo = ot2 = None
+    cap = spec.cap
+    w = spec.window
+    bk = rel_ref.shape[-1]
+    k = bk // cap
+    prec = _q_prec(spec)
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = _split_window(spec, win, hi, lo)
+
+    rel = rel_ref[0]                                    # [1, BK]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
+    oh = (iota_w == rel)
+    ot[:] = oh.astype(jnp.bfloat16)                     # plain one-hot
+
+    # u_j gathered from the window's appended F-block (plain one-hot)
+    u_g = _plane_dot_cols([ot[:]], [p[:] for p in wins], 9 * f, 10 * f)
+
+    # u_i row term, repeated per edge by the 0/1 row matmul
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (bk, cap), 0)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (bk, cap), 1)
+    rep = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [BK, cap]
+    u_e = _rep_dot(rep, urow_ref[0], spec.precise)      # [BK, F]
+
+    base = jax.lax.dot_general(                          # [BK, F]
+        at_ref[0], w1a_ref[:], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    pre1 = base + u_g + u_e
+    h = jax.nn.silu(pre1)
+    h = jax.nn.silu(jax.lax.dot_general(
+        h, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec) + b2_ref[:])
+    h3 = jax.nn.silu(jax.lax.dot_general(
+        h, w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec) + b3_ref[:])
+
+    # cutoff·mask folds into the gather one-hot: attr·cw ⊙ xj ≡ h3 ⊙ cw·xj
+    cw = cw_ref[0]                                      # [1, BK] f32
+    cw_hi = cw.astype(jnp.bfloat16)
+    ot[:] = oh.astype(jnp.bfloat16) * cw_hi
+    ots = [ot[:]]
+    if spec.precise:
+        ot2[:] = oh.astype(jnp.bfloat16) * (
+            cw - cw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        ots.append(ot2[:])
+    for d in range(9):
+        widx = 0 if d == 0 else (1 if d < 4 else 2)
+        xj_d = _plane_dot_cols(ots, [p[:] for p in wins],
+                               d * f, (d + 1) * f)
+        prod = xj_d * h3[:, widx * f:(widx + 1) * f]
+        out_ref[0, :, d * f:(d + 1) * f] = jnp.sum(
+            prod.reshape(cap, k, f), axis=1)
+
+
+def _dq_kernel(spec: CellBlockSpec, f: int, r: int, *refs):
+    """Fused charge-fold backward (transposed): emits dpre1ᵀ [F, BK],
+    the rbf cotangent [R, BK] and the (C·mask) cotangent [1, BK]."""
+    if spec.precise:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
+         w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
+         dpre_out, dat_out, dcw_out, win, hi, lo, ot, sems) = refs
+    else:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
+         w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
+         dpre_out, dat_out, dcw_out, win, hi, ot, sems) = refs
+        lo = None
+    cap = spec.cap
+    w = spec.window
+    bk = rel_ref.shape[-1]
+    k = bk // cap
+    prec = _q_prec(spec)
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = [p[:] for p in _split_window(spec, win, hi, lo)]
+
+    rel = rel_ref[0]
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
+    ot[:] = (iota_w == rel).astype(jnp.bfloat16)
+    ots = [ot[:]]
+
+    # --- recompute the forward chain, transposed (edges on lanes) ---
+    base_t = jax.lax.dot_general(                        # [F, BK]
+        w1a_ref[:], at_ref[0], (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    ug_t = _plane_dot_cols(ots, wins, 9 * f, 10 * f, transposed=True)
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 0)
+    iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 1)
+    rep_t = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [cap, BK]
+    ue_t = _rep_dot_t(urow_ref[0], rep_t, spec.precise)   # [F, BK]
+    pre1_t = base_t + ug_t + ue_t
+    h1_t = jax.nn.silu(pre1_t)
+    z2_t = jax.lax.dot_general(                          # [2F, BK]
+        w2_ref[:], h1_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec) + b2t_ref[:]
+    h2_t = jax.nn.silu(z2_t)
+    z3_t = jax.lax.dot_general(                          # [3F, BK]
+        w3_ref[:], h2_t, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec) + b3t_ref[:]
+    h3_t = jax.nn.silu(z3_t)
+
+    # --- raw cotangent fold over the irrep blocks (transposed) ---
+    g_b = g_ref[0]                                       # [cap, 9F]
+    ch = [None, None, None]
+    for d in range(9):
+        widx = 0 if d == 0 else (1 if d < 4 else 2)
+        xj_dt = _plane_dot_cols(ots, wins, d * f, (d + 1) * f,
+                                transposed=True)         # [F, BK]
+        g_et = _rep_dot_t(g_b[:, d * f:(d + 1) * f], rep_t, spec.precise)
+        prod_t = g_et * xj_dt
+        ch[widx] = prod_t if ch[widx] is None else ch[widx] + prod_t
+    fold_t = jnp.concatenate(ch, axis=0)                 # [3F, BK] = dL/d(A·cw) per A-channel, ×cw missing
+    cw = cw_ref[0]                                       # [1, BK]
+    dcw_out[0] = jnp.sum(fold_t * h3_t, axis=0, keepdims=True)
+    da_t = fold_t * cw                                   # dL/dA
+
+    # --- MLP tail backward, transposed ---
+    dz3_t = da_t * _dsilu(z3_t)
+    dh2_t = jax.lax.dot_general(                         # [2F, BK]
+        w3_ref[:], dz3_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    dz2_t = dh2_t * _dsilu(z2_t)
+    dh1_t = jax.lax.dot_general(                         # [F, BK]
+        w2_ref[:], dz2_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+    dpre_t = dh1_t * _dsilu(pre1_t)
+    dpre_out[0] = dpre_t
+    dat_out[0] = jax.lax.dot_general(                    # [R, BK]
+        w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec)
+
+
+def _q_edge_t(x, spec: CellBlockSpec, k):
+    """[n_pad, K, R] edge array → transposed per-block [n_blocks, R, BK]
+    (R on sublanes, edges on lanes — R=num_rbf would lane-pad 4× the
+    other way)."""
+    nb, cap = spec.n_blocks, spec.cap
+    r = x.shape[-1]
+    return (x.reshape(nb, cap, k, r).transpose(0, 3, 1, 2)
+             .reshape(nb, r, cap * k))
+
+
+def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
+                           run_starts, w1a, w2, b2, w3, b3, *,
+                           spec: CellBlockSpec, interpret: bool = False):
+    """Raw fused charge-fold forward.  ``window_src`` [n_pad, 10F] =
+    [feats9 | gathered-node term]; ``urow_src`` [n_pad, F] enters each of
+    its row's edges.  Returns [n_pad, 9F] f32."""
+    n_pad, k, r = edge_attr.shape
+    f = w1a.shape[1]
+    c9 = 9 * f
+    cap = spec.cap
+    n_blocks = spec.n_blocks
+    bk = cap * k
+    assert window_src.shape == (n_pad, c9 + f) and n_pad == spec.n_pad
+    assert spec.col_slots is None, "q-tier: ungrouped only"
+
+    flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        flat_spec, flat_spec,
+        pl.BlockSpec((1, cap, f), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w1a
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # b2 [1, 2F]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w3
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # b3 [1, 3F]
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((spec.window, c9 + f), jnp.float32),
+        pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
+        pltpu.VMEM((spec.window, bk), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.nr,)),
+    ]
+    if spec.precise:
+        scratch.insert(2, pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16))
+        scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch,
+    )
+    out = pl.pallas_call(
+        functools.partial(_mp_kernel_q, spec, f, r),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
+        compiler_params=_cheb_vmem_params(spec, f),
+        interpret=interpret,
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+      _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(rel, spec, k),
+      urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
+      w1a.astype(jnp.float32), w2.astype(jnp.float32),
+      b2.astype(jnp.float32).reshape(1, -1),
+      w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(1, -1),
+      window_src.astype(jnp.float32))
+    return out.reshape(n_pad, c9)
+
+
+def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
+               w1a, w2, b2, w3, b3, *, spec: CellBlockSpec,
+               interpret: bool = False):
+    """Raw fused charge-fold backward: recomputes the edge chain in
+    transposed form and returns (dpre1 [n_pad, K, F], dattr_rbf
+    [n_pad, K, R], dcw [n_pad, K])."""
+    n_pad, k, r = edge_attr.shape
+    f = w1a.shape[1]
+    c9 = 9 * f
+    cap = spec.cap
+    n_blocks = spec.n_blocks
+    bk = cap * k
+    assert spec.col_slots is None, "q-tier: ungrouped only"
+
+    flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        flat_spec, flat_spec,
+        pl.BlockSpec((1, cap, f), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w1a
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # b2ᵀ [2F, 1]
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w3
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # b3ᵀ [3F, 1]
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((spec.window, c9 + f), jnp.float32),
+        pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
+        pltpu.VMEM((spec.window, bk), jnp.bfloat16),
+        pltpu.SemaphoreType.DMA((spec.nr,)),
+    ]
+    if spec.precise:
+        scratch.insert(2, pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16))
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, f, bk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=scratch,
+    )
+    dpre_t, dat_t, dcw = pl.pallas_call(
+        functools.partial(_dq_kernel, spec, f, r),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_blocks, f, bk), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, r, bk), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 1, bk), jnp.float32),
+        ],
+        compiler_params=_cheb_vmem_params(spec, f),
+        interpret=interpret,
+    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+      _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
+      _cheb_edge_layout(rel, spec, k),
+      urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
+      g9.astype(jnp.float32).reshape(n_blocks, cap, c9),
+      w1a.astype(jnp.float32), w2.astype(jnp.float32),
+      b2.astype(jnp.float32).reshape(-1, 1),
+      w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(-1, 1),
+      window_src.astype(jnp.float32))
+    dpre = (dpre_t.reshape(n_blocks, f, cap, k).transpose(0, 2, 3, 1)
+                  .reshape(n_pad, k, f))
+    dat = (dat_t.reshape(n_blocks, r, cap, k).transpose(0, 2, 3, 1)
+                .reshape(n_pad, k, r))
+    return dpre, dat, dcw.reshape(n_pad, k)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blocked_q_op(spec: CellBlockSpec, interpret: bool):
+    """Differentiable fused charge-fold asymmetric MP (first-order, MD
+    force path).  Gradients flow to edge_attr (rbf), cwfm (cutoff·mask),
+    u_i/u_j (charge terms) and the features; the MLP weights get zero
+    cotangents — parameter training uses the packed XLA path."""
+    from torchmdnet_tpu.ops.message_passing import gather_rev
+
+    def _fwd(edge_attr, cwfm, u_i, u_j, feats9, rel, run_starts,
+             w1a, w2, b2, w3, b3):
+        window = jnp.concatenate([feats9, u_j], axis=-1)
+        return blocked_neighbor_sum_q(
+            edge_attr, cwfm, u_i, window, rel, run_starts,
+            w1a, w2, b2, w3, b3, spec=spec, interpret=interpret)
+
+    @jax.custom_vjp
+    def asym_q(edge_attr, cwfm, u_i, u_j, feats9, mask, idx, rev_slot,
+               rel, run_starts, w1a, w2, b2, w3, b3):
+        return _fwd(edge_attr, cwfm, u_i, u_j, feats9, rel, run_starts,
+                    w1a, w2, b2, w3, b3)
+
+    def fwd(edge_attr, cwfm, u_i, u_j, feats9, mask, idx, rev_slot,
+            rel, run_starts, w1a, w2, b2, w3, b3):
+        out = _fwd(edge_attr, cwfm, u_i, u_j, feats9, rel, run_starts,
+                   w1a, w2, b2, w3, b3)
+        return out, (edge_attr, cwfm, u_i, u_j, feats9, mask, idx,
+                     rev_slot, rel, run_starts, w1a, w2, b2, w3, b3)
+
+    def bwd(res, g):
+        (edge_attr, cwfm, u_i, u_j, feats9, mask, idx, rev_slot, rel,
+         run_starts, w1a, w2, b2, w3, b3) = res
+        # feature cotangent: the reverse-edge weights (u_i/u_j roles
+        # swapped) applied to the output cotangent — one more fused
+        # forward pass with g9 as the window features and u_i gathered.
+        window_rev = jnp.concatenate([g, u_i], axis=-1)
+        dfeats = blocked_neighbor_sum_q(
+            edge_attr, cwfm, u_j, window_rev, rel, run_starts,
+            w1a, w2, b2, w3, b3, spec=spec, interpret=interpret)
+        dpre, dat, dcw = blocked_dq(
+            edge_attr, cwfm, u_i, jnp.concatenate([feats9, u_j], axis=-1),
+            g, rel, run_starts, w1a, w2, b2, w3, b3,
+            spec=spec, interpret=interpret)
+        du_i = jnp.sum(dpre, axis=1)
+        du_j = jnp.sum(gather_rev(dpre, idx, rev_slot, mask), axis=1)
+        return (dat, dcw, du_i, du_j, dfeats, None, None, None, None,
+                None, jnp.zeros_like(w1a), jnp.zeros_like(w2),
+                jnp.zeros_like(b2), jnp.zeros_like(w3),
+                jnp.zeros_like(b3))
+
+    asym_q.defvjp(fwd, bwd)
+    return asym_q
+
+
+def blocked_neighbor_sum_asym_q(edge_attr, cwfm, u_i, u_j, feats9, mask,
+                                idx, rev_slot, rel, run_starts,
+                                w1a, w2, b2, w3, b3, spec: CellBlockSpec,
+                                interpret: bool = False):
+    """Asymmetric blocked MP with the charge-fold edge MLP evaluated
+    in-kernel: functionally ``blocked_neighbor_sum_asym(tail(rbf·W1a +
+    u_i[i] + u_j[j])·cwfm, <swapped>, feats9, ...)`` with no [N, K, 3F]
+    materialization.  First-order VJP (MD force path); the MLP weights
+    get zero gradients — force training uses the packed XLA path.
+    Reference bar: the Warp gather MP
+    ``torchmdnet/extensions/warp_kernels/tensornet_mp.py:42-131``."""
+    return _make_blocked_q_op(spec, interpret)(
+        edge_attr, cwfm, u_i, u_j, feats9, mask, idx, rev_slot, rel,
+        run_starts, w1a, w2, b2, w3, b3)
