@@ -304,3 +304,64 @@ def test_md_blocked_precise_nve_drift():
     assert db < 5e-4, (da, db)
     # relative bar: blocked-precise adds no drift beyond integration error
     assert db < 2.0 * da + 1e-5, (da, db)
+
+
+def test_blocked_tensornet2_precise_absolute_force_bar():
+    """Production-force certification for the north-star model: the
+    precise (hi/lo) fused charge-fold tier's forces must match the f32
+    gather path to <= 1e-4 eV/A ABSOLUTE max deviation at a liquid-density
+    config — the BASELINE.md bar in its own units (reference parity:
+    rtol=atol=1e-4, ``tests/test_warp_ops.py:85-86``)."""
+    cutoff, k = 3.2, 48
+    z, pos, box, L = _system(n=400, seed=7)
+    n = len(z)
+    batch = jnp.zeros((n,), jnp.int32)
+    zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+    q = jnp.zeros((1,), jnp.float32)
+
+    args = _args("tensornet2", cutoff, k)
+    pot = create_model(args)
+    variables = pot.init(jax.random.PRNGKey(0), zj, pj, batch, num_mols=1,
+                         box=bj, q=q)
+
+    nbr = build_neighbor_matrix(
+        pj, batch, strategy="brute", k_max=k, cutoff_upper=cutoff,
+        loop=True, box=bj)
+    assert not bool(nbr.overflow)
+
+    def e_ref(p):
+        return jnp.sum(pot.energy(variables, zj, p, batch, num_mols=1,
+                                  box=bj, q=q, nbr=nbr))
+
+    f0 = jax.grad(e_ref)(pj)
+
+    bd = jnp.diag(bj)
+    spec = tune_cell_block_spec(pj, bd, cutoff, cap=8, precise=True)
+    pot_b = create_model(dict(args, cell_block_spec=spec))
+    blocks = plan_cell_blocks(pj, bd, spec)
+    assert not bool(blocks.overflow)
+    perm_safe = jnp.minimum(blocks.perm, n - 1)
+    am_s = blocks.mask_rows
+    pos_s0 = jnp.where(am_s[:, None], pj[perm_safe], 0.0)
+    zs = jnp.where(am_s, zj[perm_safe], 0)
+    batchs = jnp.where(am_s, batch[perm_safe], 1)
+    nbr_s = build_neighbor_matrix(
+        pos_s0, batchs, strategy="brute", k_max=k, cutoff_upper=cutoff,
+        loop=True, box=bj, atom_mask=am_s)
+    assert not bool(nbr_s.overflow)
+    rel, eov = edge_rel(blocks, nbr_s.idx, nbr_s.mask, pos_s0, bd)
+    assert not bool(eov)
+
+    def e_blk(p):
+        p_s = permute_rows(p, perm_safe, am_s, blocks.inv_perm)
+        return jnp.sum(pot_b.energy(
+            variables, zs, p_s, batchs, num_mols=1, box=bj, q=q, nbr=nbr_s,
+            blocked=BlockedMP(rel, blocks.run_starts)))
+
+    f1 = jax.grad(e_blk)(pj)
+    f0, f1 = np.asarray(f0), np.asarray(f1)
+    dev = np.abs(f1 - f0).max()
+    # sanity: random-weight force scale must be O(0.1..10) so the absolute
+    # bar is meaningful, not vacuous
+    assert np.abs(f0).max() > 1e-2, np.abs(f0).max()
+    assert dev < 1e-4, (dev, np.abs(f0).max())

@@ -128,6 +128,54 @@ class Interaction2(nn.Module):
         hi = get_matmul_precision()
         u_i = qc @ w1[R:R + Q] + b1  # bias folded into the i-term
         u_j = qc @ w1[R + Q:]
+
+        # Fused charge-fold MP tier (ops/pallas_blocked_mp.py q-tier): the
+        # whole edge-MLP tail is evaluated inside the window MP kernel, so
+        # neither attr nor attr_rev ([N, K, 3F] x2 ~ 7.4 GB/pass HBM
+        # traffic at the 25k north-star config) ever materializes.
+        # First-order VJP only — the MD force path; force training uses
+        # the packed XLA path below.  Ungrouped specs only (kernel
+        # contract).  Reference analog: the Warp gather MP consumed by
+        # ``torchmdnet/models/tensornet2.py:546-557``.
+        use_q_kernel = (
+            blocked is not None
+            and self.cell_block_spec is not None
+            and self.cell_block_spec.col_slots is None
+            and self.activation == "silu"
+            and self.dtype is None
+            and edge_attr.dtype == jnp.float32
+        )
+        if use_q_kernel:
+            from jax.ad_checkpoint import checkpoint_name
+
+            from torchmdnet_tpu.ops.pallas_blocked_mp import (
+                blocked_neighbor_sum_asym_q,
+            )
+
+            w2, b2 = LinearParams(F, 2 * F, name="linears_scalar_1")()
+            w3, b3 = LinearParams(2 * F, 3 * F, name="linears_scalar_2")()
+            cwfm = C * nbr.mask.astype(jnp.float32)
+
+            normp1 = tensor_frobenius_norm2(X) + 1.0
+            X = Irreps(X.I / normp1, X.A / normp1[:, None, :],
+                       X.S / normp1[:, None, :])
+            Y = linear_irreps(
+                X, ["linears_tensor_0", "linears_tensor_1",
+                    "linears_tensor_2"], dtype=self.dtype)
+            n = Y.I.shape[0]
+            feats9 = jnp.concatenate(
+                [Y.I, Y.A.reshape(n, 3 * F), Y.S.reshape(n, 5 * F)],
+                axis=-1)
+            interp = jax.default_backend() != "tpu"
+            msg9 = blocked_neighbor_sum_asym_q(
+                edge_attr, cwfm, u_i, u_j, feats9, nbr.mask, nbr.idx,
+                rev_slot, blocked.rel, blocked.run_starts,
+                w1[:R], w2, b2, w3, b3, self.cell_block_spec, interp)
+            msg9 = checkpoint_name(msg9, "pns_out")
+            M = Irreps(msg9[:, :F], msg9[:, F:4 * F].reshape(n, 3, F),
+                       msg9[:, 4 * F:].reshape(n, 5, F))
+            return self._mix_and_update(X, Y, M)
+
         uj_e = gather_nodes(u_j, nbr.idx, rev_slot, nbr.mask)
         base = jnp.einsum("nkr,rf->nkf", edge_attr.astype(cdt), w1[:R],
                           precision=hi)
@@ -177,7 +225,11 @@ class Interaction2(nn.Module):
         M = edge_message_passing(attr, Y, nbr, rev_slot, attr_rev=attr_rev,
                                  blocked=blocked,
                                  block_spec=self.cell_block_spec)
+        return self._mix_and_update(X, Y, M)
 
+    def _mix_and_update(self, X: Irreps, Y: Irreps, M: Irreps):
+        # plain helper invoked from the @nn.compact __call__ (params
+        # created here register under the same compact scope)
         Yf = compose_tensor(Y)
         Mf = compose_tensor(M)
         if self.equivariance_invariance_group == "O(3)":
