@@ -95,3 +95,47 @@ def test_coulomb_first_order_is_scatter_free():
 
     jaxpr = str(jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(pos, a, b))
     assert "scatter" not in jaxpr
+
+
+@pytest.mark.parametrize("periodic", [False, True])
+def test_weighted_coulomb_matches_general_op(periodic):
+    """coulomb_cutoff_energy_w (a = w ⊙ b, the ScalarPlusWeightedCoulomb
+    structure) vs the general op with a = w*b: values and (pos, w, b)
+    gradients, incl. the collapsed pd2 = ct_j·pd pair-force identity."""
+    from torchmdnet_tpu.ops.coulomb import coulomb_cutoff_energy_w
+
+    rng = np.random.RandomState(3)
+    n, c = 48, 6
+    L = 12.0
+    pos = jnp.asarray(rng.uniform(0, L, (n, 3)).astype(np.float32))
+    batch = jnp.zeros((n,), jnp.int32)
+    box = (jnp.asarray(np.diag([L, L, L]).astype(np.float32))
+           if periodic else None)
+    nbr = brute_neighbor_matrix(pos, batch, k_max=n, cutoff_upper=RC,
+                                loop=False, box=box)
+    assert not bool(nbr.overflow)
+    w = jnp.asarray(rng.rand(c).astype(np.float32) + 0.2)
+    b = jnp.asarray(rng.randn(n, c).astype(np.float32))
+    ct = jnp.asarray(rng.randn(n).astype(np.float32))
+
+    e_w = coulomb_cutoff_energy_w(pos, w, b, nbr.idx, nbr.mask,
+                                  RC, EPS, FACTOR, box, batch)
+    e_g = coulomb_cutoff_energy(pos, w[None, :] * b, b, nbr.idx, nbr.mask,
+                                RC, EPS, FACTOR, box, batch)
+    np.testing.assert_allclose(np.asarray(e_w), np.asarray(e_g),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_w(p, ww, bb):
+        return jnp.sum(coulomb_cutoff_energy_w(
+            p, ww, bb, nbr.idx, nbr.mask, RC, EPS, FACTOR, box, batch) * ct)
+
+    def loss_g(p, ww, bb):
+        return jnp.sum(coulomb_cutoff_energy(
+            p, ww[None, :] * bb, bb, nbr.idx, nbr.mask, RC, EPS, FACTOR,
+            box, batch) * ct)
+
+    gw = jax.grad(loss_w, argnums=(0, 1, 2))(pos, w, b)
+    gg = jax.grad(loss_g, argnums=(0, 1, 2))(pos, w, b)
+    for f, r, name in zip(gw, gg, ("pos", "w", "b")):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)

@@ -296,15 +296,18 @@ class ScalarPlusWeightedCoulomb(OutputModel):
             # the 25k/10Å Coulomb config.  Row format holds both edge
             # directions, so summing rows equals the reference's two
             # index_adds over half the edges.
-            from torchmdnet_tpu.ops.coulomb import coulomb_cutoff_energy
+            from torchmdnet_tpu.ops.coulomb import coulomb_cutoff_energy_w
 
             # static channel-weight total (config-derived, not the traced
             # buffer)
             factor = self._FACTOR / float(
                 sum(float(v) for row in self.q_weights for v in row)
             )
-            e_i = coulomb_cutoff_energy(
-                pos, charges * qw, charges, nbr.idx, nbr.mask,
+            # weighted specialization: a = qw ⊙ charges — its collapsed
+            # backward gathers C+4 channels instead of 3+2C and keeps all
+            # per-edge reductions minor-axis (ops/coulomb.py)
+            e_i = coulomb_cutoff_energy_w(
+                pos, qw, charges, nbr.idx, nbr.mask,
                 float(self.coulomb_cutoff), float(self.epsilon_solvent),
                 factor, box, batch,
             )

@@ -122,8 +122,12 @@ def _cce_impl(pos, a, b, idx, mask, rc, eps, factor, box, batch):
         delta, safe_d, valid = _chunk_geometry(
             pos_c, sj[..., :3], mask_c, box_c, rc)
         g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
-        pd = jnp.einsum("nc,nkc->nk", a_c, sj[..., 3:],
-                        preferred_element_type=a.dtype)
+        # broadcast-multiply-reduce, NOT einsum: the batched-matvec dot
+        # ('nc,nkc->nk') makes XLA lower a per-channel while-loop with a
+        # transposed staging buffer (measured 2026-08-19: ~200 ms/step of
+        # the 25k north-star bwd in that loop); the elementwise form fuses
+        # with the gather in row-major layout and runs full-f32 on the VPU
+        pd = jnp.sum(a_c[:, None, :] * sj[..., 3:], axis=-1)
         return jnp.sum(g * pd, axis=1)
 
     args = (pos, a, idx, mask) + ((pab,) if pab is not None else ())
@@ -162,14 +166,13 @@ def _cce_bwd(rc, eps, factor, res, ct):
         gp = jax.grad(
             lambda d: jnp.sum(_g_kernel(d, rc, eps, factor)))(safe_d)
         gp = jnp.where(valid, gp, 0.0)
-        pd = jnp.einsum("nc,nkc->nk", a_c, bj,
-                        preferred_element_type=a.dtype)
-        da_c = jnp.einsum("nk,nkc->nc", ct_c[:, None] * g, bj,
-                          preferred_element_type=a.dtype)
-        db_c = jnp.einsum("nk,nkc->nc", g, ctaj,
-                          preferred_element_type=a.dtype)
-        pd2 = jnp.einsum("nc,nkc->nk", b_c, ctaj,
-                         preferred_element_type=a.dtype)
+        # broadcast-multiply-reduce forms (see _cce_impl note: einsum's
+        # batched matvec de-vectorizes into a 99-iteration channel loop)
+        pd = jnp.sum(a_c[:, None, :] * bj, axis=-1)
+        wg = ct_c[:, None] * g
+        da_c = jnp.sum(wg[:, :, None] * bj, axis=1)
+        db_c = jnp.sum(g[:, :, None] * ctaj, axis=1)
+        pd2 = jnp.sum(b_c[:, None, :] * ctaj, axis=-1)
         # pair-force: G'(d)·v̂ weighted by the symmetrized charge cotangent
         s = gp * (ct_c[:, None] * pd + pd2) / safe_d
         dpos_c = jnp.sum(s[..., None] * delta, axis=1)
@@ -181,3 +184,78 @@ def _cce_bwd(rc, eps, factor, res, ct):
 
 
 coulomb_cutoff_energy.defvjp(_cce_fwd, _cce_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Weighted specialization: a = w ⊙ b with a per-channel weight vector w [C]
+# (the ScalarPlusWeightedCoulomb head's exact structure,
+# reference ``output_modules.py:566-588``).  The diagonal bilinear form is
+# symmetric, which collapses the backward:
+#
+#   pd2 (reverse-edge pair dot) = ct_j · pd            (no second gather)
+#   db_m = ct_m·(w ⊙ S1_m) + w ⊙ S2_m,   S1 = Σ_k G·b_j, S2 = Σ_k G·ct_j·b_j
+#   dw_c = Σ_m ct_m · b_mc · S1_mc
+#
+# so the bwd gathers [pos | b | ct] = C+4 channels instead of 3+2C, and the
+# only per-edge reductions are pd (minor axis) and S1/S2 over K — computed
+# on a TRANSPOSED [chunk, C, K] view so the K-reduction is also minor-axis.
+# Middle-axis reductions are poison: XLA lowers them to a per-channel
+# while-loop with a transposed staging buffer (measured 2026-08-19 at the
+# 25k north-star: ~200 ms/step inside that loop for the general op's bwd).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def coulomb_cutoff_energy_w(pos, w, b, idx, mask, rc, eps, factor,
+                            box=None, batch=None):
+    """``E_i = Σ_k m·G(d)·Σ_c w_c b_ic b_jc`` — see module docstring and
+    the weighted-specialization note above."""
+    return _cce_impl(pos, w[None, :] * b, b, idx, mask, rc, eps, factor,
+                     box, batch)
+
+
+def _ccew_fwd(pos, w, b, idx, mask, rc, eps, factor, box, batch):
+    e = coulomb_cutoff_energy_w(pos, w, b, idx, mask, rc, eps, factor,
+                                box, batch)
+    return e, (pos, w, b, idx, mask, box, batch)
+
+
+def _ccew_bwd(rc, eps, factor, res, ct):
+    from torchmdnet_tpu.ops.message_passing import _map_rows
+
+    pos, w, b, idx, mask, box, batch = res
+    idx = jax.lax.stop_gradient(idx)
+    n, k = idx.shape
+    c = b.shape[-1]
+    pab = _per_atom_box(pos, box, batch)
+    src = jnp.concatenate([pos, b, ct[:, None]], axis=1)
+    chunk = _rows(n, k, 4 + c)
+
+    def one(args):
+        pos_c, b_c, ct_c, idx_c, mask_c = args[:5]
+        box_c = args[5] if pab is not None else None
+        sj = src[idx_c]                            # [ch, K, C+4]
+        delta, safe_d, valid = _chunk_geometry(
+            pos_c, sj[..., :3], mask_c, box_c, rc)
+        bj = sj[..., 3:3 + c]
+        ctj = sj[..., 3 + c]
+        g = jnp.where(valid, _g_kernel(safe_d, rc, eps, factor), 0.0)
+        gp = jax.grad(
+            lambda d: jnp.sum(_g_kernel(d, rc, eps, factor)))(safe_d)
+        gp = jnp.where(valid, gp, 0.0)
+        pd = jnp.sum((w[None, :] * b_c)[:, None, :] * bj, axis=-1)
+        s = gp * pd * (ct_c[:, None] + ctj) / safe_d
+        dpos_c = jnp.sum(s[..., None] * delta, axis=1)
+        bjt = jnp.swapaxes(bj, 1, 2)               # [ch, C, K]: K minor
+        s1 = jnp.sum(g[:, None, :] * bjt, axis=-1)
+        s2 = jnp.sum((g * ctj)[:, None, :] * bjt, axis=-1)
+        return dpos_c, s1, s2
+
+    args = (pos, b, ct, idx, mask) + ((pab,) if pab is not None else ())
+    dpos, s1, s2 = _map_rows(one, args, n, chunk)
+    db = ct[:, None] * (w[None, :] * s1) + w[None, :] * s2
+    dw = jnp.sum(ct[:, None] * b * s1, axis=0)
+    return dpos, dw, db, None, None, None, None
+
+
+coulomb_cutoff_energy_w.defvjp(_ccew_fwd, _ccew_bwd)
