@@ -87,6 +87,26 @@ def main():
             cells_per_dim=(dims, dims, dims),
             cell_capacity=int(np.ceil(occ * 2.5)),
         )
+    # Cell-blocked Pallas MP tier for the headline chain (BENCH_BLOCKED=1):
+    # per-step block planning + sorted-space evaluation — the same work the
+    # gather path's per-step neighbor rebuild does, so the comparison is
+    # honest.  BENCH_GROUPED=1 adds the column-partitioned slot layout
+    # (gather FLOPs ∝ W/9); BENCH_PRECISE=1 the hi/lo production-force
+    # gathers.
+    blocked = os.environ.get("BENCH_BLOCKED", "0") == "1"
+    spec = None
+    if blocked:
+        import jax.numpy as _jnp
+
+        from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
+
+        spec = tune_cell_block_spec(
+            _jnp.asarray(pos), _jnp.asarray(np.diag(box)),
+            args["cutoff_upper"],
+            cap=int(os.environ.get("BENCH_CAP", 16)),
+            precise=os.environ.get("BENCH_PRECISE", "0") == "1",
+            column_slots=os.environ.get("BENCH_GROUPED", "1") == "1")
+        args.update(cell_block_spec=spec)
     pot = create_model(args)
     zj, pj, sj, bj = map(jnp.asarray, (z, pos, seg, box))
 
@@ -94,9 +114,52 @@ def main():
         jax.random.PRNGKey(0), zj, pj, sj, box=bj
     )
 
-    @jax.jit
-    def step(params, pos):
-        return pot.apply(params, zj, pos, sj, box=bj, num_mols=1)
+    if blocked:
+        from torchmdnet_tpu.ops.cell_blocks import (
+            BlockedMP,
+            edge_rel,
+            plan_cell_blocks,
+        )
+        from torchmdnet_tpu.ops.neighbors import build_neighbor_matrix
+
+        bd = jnp.diag(bj)
+        nbr_kw = dict(strategy="brute", k_max=args["max_num_neighbors"],
+                      cutoff_upper=args["cutoff_upper"], loop=True, box=bj)
+        if spec.col_slots is not None:
+            nz = max(int(box[2, 2] // args["cutoff_upper"]), 3)
+            occ = N_ATOMS / (spec.nx * spec.ny * nz)
+            nbr_kw = dict(
+                strategy="cell", k_max=sum(spec.col_slots),
+                cutoff_upper=args["cutoff_upper"], loop=True, box=bj,
+                cells_per_dim=(spec.nx, spec.ny, nz),
+                cell_capacity=int(np.ceil(occ * 2.5)) + 8,
+                column_partition=spec.col_slots)
+
+        def blocked_eval(params, p):
+            """Mirror of the MD integrator's blocked _rebuild + eval
+            (md/integrators.py), per step.  Returns (y, forces in the
+            ORIGINAL atom order) so the chain feedback stays comparable."""
+            blocks = plan_cell_blocks(p, bd, spec)
+            perm_safe = jnp.minimum(blocks.perm, N_PAD - 1)
+            batch_perm = sj[perm_safe]
+            am_s = blocks.mask_rows & (batch_perm < 1)
+            pos_s = jnp.where(am_s[:, None], p[perm_safe], 0.0)
+            zs = jnp.where(am_s, zj[perm_safe], 0)
+            batchs = jnp.where(am_s, batch_perm, 1)
+            nbr = build_neighbor_matrix(pos_s, batchs, atom_mask=am_s,
+                                        **nbr_kw)
+            rel, _ = edge_rel(blocks, nbr.idx, nbr.mask, pos_s, bd)
+            y, neg_dy = pot.apply(
+                params, zs, pos_s, batchs, box=bj, num_mols=1, nbr=nbr,
+                blocked=BlockedMP(rel, blocks.run_starts))
+            return y, neg_dy[blocks.inv_perm]
+
+        eval_fn = blocked_eval
+    else:
+        def eval_fn(params, p):
+            return pot.apply(params, zj, p, sj, box=bj, num_mols=1)
+
+    step = jax.jit(eval_fn)
 
     t0 = time.time()
     y, f = step(variables, pj)
@@ -108,7 +171,7 @@ def main():
     @jax.jit
     def chain(params, pos0, iters):
         def body(i, p):
-            _, fstep = pot.apply(params, zj, p, sj, box=bj, num_mols=1)
+            _, fstep = eval_fn(params, p)
             # non-foldable feedback: `0.0 * fstep` can be constant-folded
             # into an identity loop by XLA (observed with the cell
             # strategy); 1e-24·F keeps the dependency with no physical

@@ -414,3 +414,68 @@ def test_blocked_q_tier_matches_packed_asym():
         s = np.abs(p).max() + 1e-30
         assert np.abs(b - p).max() / s < 2e-4, (name,
                                                 np.abs(b - p).max() / s)
+
+
+def test_blocked_q_tier_grouped_matches_packed_asym():
+    """Grouped (column-partitioned) fused charge-fold tier vs the unfused
+    pipeline: values and all five gradients.  Same bars as the ungrouped
+    q-tier test; exercises _mp_kernel_q_grouped/_dq_kernel_grouped and the
+    column-major edge reshapes."""
+    from torchmdnet_tpu.ops.message_passing import (
+        gather_nodes,
+        packed_neighbor_sum_asym,
+    )
+    from torchmdnet_tpu.ops.pallas_blocked_mp import (
+        blocked_neighbor_sum_asym_q,
+    )
+
+    f, r = 16, 8
+    spec, blocks, nbr, rel, _, feats = _grouped_setup(f=f, precise=True)
+    n_pad, k = rel.shape
+    rng = np.random.RandomState(13)
+    edge_attr = jnp.asarray(rng.randn(n_pad, k, r).astype(np.float32))
+    cwfm = jnp.asarray(
+        (rng.rand(n_pad, k) * np.asarray(nbr.mask)).astype(np.float32))
+    u_i = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
+    u_j = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
+    w1a = jnp.asarray(rng.randn(r, f).astype(np.float32) / np.sqrt(r))
+    w2 = jnp.asarray(rng.randn(f, 2 * f).astype(np.float32) / np.sqrt(f))
+    b2 = jnp.asarray(rng.randn(2 * f).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(
+        rng.randn(2 * f, 3 * f).astype(np.float32) / np.sqrt(2 * f))
+    b3 = jnp.asarray(rng.randn(3 * f).astype(np.float32) * 0.1)
+
+    def loss_fused(ea, cw, ui, uj, x):
+        out = blocked_neighbor_sum_asym_q(
+            ea, cw, ui, uj, x, nbr.mask, nbr.idx, nbr.rev_slot,
+            rel, blocks.run_starts, w1a, w2, b2, w3, b3, spec, True)
+        return jnp.sum(out * jnp.cos(out * 0.1)), out
+
+    def loss_unfused(ea, cw, ui, uj, x):
+        def tail(pre):
+            h = jax.nn.silu(pre)
+            h = jax.nn.silu(h @ w2 + b2)
+            return jax.nn.silu(h @ w3 + b3)
+
+        base = jnp.einsum("nkr,rf->nkf", ea, w1a,
+                          precision=jax.lax.Precision.HIGHEST)
+        uj_e = gather_nodes(uj, nbr.idx, nbr.rev_slot, nbr.mask)
+        ui_e = gather_nodes(ui, nbr.idx, nbr.rev_slot, nbr.mask)
+        attr = tail(base + ui[:, None, :] + uj_e) * cw[..., None]
+        attr_rev = tail(base + uj[:, None, :] + ui_e) * cw[..., None]
+        out = packed_neighbor_sum_asym(attr, attr_rev, x, nbr.idx,
+                                       nbr.rev_slot, nbr.mask)
+        return jnp.sum(out * jnp.cos(out * 0.1)), out
+
+    args = (edge_attr, cwfm, u_i, u_j, feats)
+    (gf, of), (gu, ou) = (
+        jax.grad(fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+        for fn in (loss_fused, loss_unfused))
+    scale = np.abs(np.asarray(ou)).max()
+    assert np.abs(np.asarray(of) - np.asarray(ou)).max() / scale < 1e-4
+    for b, p, name in zip(gf, gu,
+                          ("dedge_attr", "dcwfm", "du_i", "du_j", "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        s = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / s < 2e-4, (name,
+                                                np.abs(b - p).max() / s)

@@ -134,13 +134,13 @@ class Interaction2(nn.Module):
         # neither attr nor attr_rev ([N, K, 3F] x2 ~ 7.4 GB/pass HBM
         # traffic at the 25k north-star config) ever materializes.
         # First-order VJP only — the MD force path; force training uses
-        # the packed XLA path below.  Ungrouped specs only (kernel
-        # contract).  Reference analog: the Warp gather MP consumed by
+        # the packed XLA path below.  Grouped (column-partitioned) specs
+        # run the per-column kernels: gather FLOPs ∝ W/9.  Reference
+        # analog: the Warp gather MP consumed by
         # ``torchmdnet/models/tensornet2.py:546-557``.
         use_q_kernel = (
             blocked is not None
             and self.cell_block_spec is not None
-            and self.cell_block_spec.col_slots is None
             and self.activation == "silu"
             and self.dtype is None
             and edge_attr.dtype == jnp.float32

@@ -599,10 +599,10 @@ def _mp_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     (e = slot·cap + row)."""
     if spec.precise:
         (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
-         win, hi, lo, sems) = refs
+         win, hi, lo, bt_s, sems) = refs
     else:
         (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
-         win, hi, sems) = refs
+         win, hi, bt_s, sems) = refs
         lo = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
@@ -610,8 +610,13 @@ def _mp_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     wins = _split_window(spec, win, hi, lo)
 
     rel = rel_ref[0]                                    # [1, K'·cap]
-    th = th_ref[0]
-    fm = fm_ref[0]
+    # Full-width basis materialized through a SCRATCH store: Mosaic cannot
+    # broadcast the lane-offset [1, bks] θ/fm slices inside _basis_t
+    # ("Invalid input layout", vector.broadcast — measured 2026-08-19
+    # v5e); building the [T, BK] basis once at lane offset 0 and slicing
+    # the stored plane per column is layout-legal (and avoids re-paying
+    # the cos chain 9×).
+    bt_s[:] = _basis_t(th_ref[0], fm_ref[0], T)
     first = True
     off = 0
     for s, ks in enumerate(spec.col_slots):
@@ -622,7 +627,7 @@ def _mp_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
         rel_s = rel[:, sl0:sl1] - s * wc                # [1, bks]
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
         ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
-        bT = _basis_t(th[:, sl0:sl1], fm[:, sl0:sl1], T)
+        bT = bt_s[:, sl0:sl1]
         attr_s = jax.lax.dot_general(
             bT, co_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -708,10 +713,10 @@ def _dd_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     """Column-grouped fused d-cotangent (column-major edge order)."""
     if spec.precise:
         (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
-         out_ref, win, hi, lo, sems) = refs
+         out_ref, win, hi, lo, bt_s, sems) = refs
     else:
         (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
-         out_ref, win, hi, sems) = refs
+         out_ref, win, hi, bt_s, sems) = refs
         lo = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
@@ -719,9 +724,9 @@ def _dd_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     wins = _split_window(spec, win, hi, lo)
 
     rel = rel_ref[0]
-    th = th_ref[0]
-    fm = fm_ref[0]
     g_b = g_ref[0]                                      # [cap, 9F]
+    # full-width basis via scratch (see _mp_kernel_grouped_cheb note)
+    bt_s[:] = _basis_t(th_ref[0], fm_ref[0], T)
     off = 0
     for s, ks in enumerate(spec.col_slots):
         if ks == 0:
@@ -731,7 +736,7 @@ def _dd_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
         rel_s = rel[:, sl0:sl1] - s * wc
         iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
         ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
-        bT = _basis_t(th[:, sl0:sl1], fm[:, sl0:sl1], T)
+        bT = bt_s[:, sl0:sl1]
         gpT = jax.lax.dot_general(
             ds_ref[:], bT, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -824,7 +829,11 @@ def blocked_neighbor_sum_cheb(coeffs, theta, fmask, feats9, rel,
     ]
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
-    if not grouped:
+    if grouped:
+        # materialized full-width [T, BK] basis (Mosaic layout — see
+        # _mp_kernel_grouped_cheb)
+        scratch.insert(-1, pltpu.VMEM((T, bk), jnp.float32))
+    else:
         scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -887,7 +896,9 @@ def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
     ]
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
-    if not grouped:
+    if grouped:
+        scratch.insert(-1, pltpu.VMEM((T, bk), jnp.float32))
+    else:
         scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
@@ -1127,6 +1138,114 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, *refs):
             prod.reshape(cap, k, f), axis=1)
 
 
+def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
+    """Column-grouped fused charge-fold forward: the per-edge MLP chain and
+    the window gathers run one stencil column at a time, so each column's
+    one-hot contracts only its own ``wc = rpc·rlh`` window rows — gather
+    FLOPs ∝ W/9 (the _mp_kernel_grouped_cheb discipline applied to the
+    TensorNet2 charge-fold tier).  Edge arrays are COLUMN-MAJOR
+    (e = slot·cap + row, lane-aligned group boundaries)."""
+    if spec.precise:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
+         b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
+         win, hi, lo, cwb_hi_s, cwb_lo_s, sems) = refs
+    else:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
+         b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
+         win, hi, cwb_hi_s, sems) = refs
+        lo = cwb_lo_s = None
+    cap = spec.cap
+    wc = spec.rpc * spec.rlh
+    prec = _q_prec(spec)
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = [p[:] for p in _split_window(spec, win, hi, lo)]
+
+    rel = rel_ref[0]                                    # [1, K'·cap]
+    at = at_ref[0]                                      # [R, K'·cap]
+    cw = cw_ref[0]                                      # [1, K'·cap]
+    urow = urow_ref[0]                                  # [cap, F]
+    # Materialize the cutoff·mask broadcast at FULL width (lane offset 0)
+    # into a SCRATCH before the per-column loop: Mosaic cannot broadcast a
+    # lane-offset [1, bks] slice up to [wc, bks] ("Invalid input layout",
+    # vector.broadcast, measured 2026-08-19 v5e), and a bare broadcast_to
+    # value gets commuted past the slice — the scratch store forces the
+    # materialization; lane-slicing the stored plane is fine.
+    bk = rel.shape[-1]
+    cw_hi_f = cw.astype(jnp.bfloat16)
+    cwb_hi_s[:] = jnp.broadcast_to(cw_hi_f, (wc, bk))
+    cwb_hi = cwb_hi_s[:]
+    if spec.precise:
+        cwb_lo_s[:] = jnp.broadcast_to(
+            (cw - cw_hi_f.astype(jnp.float32)).astype(jnp.bfloat16),
+            (wc, bk))
+        cwb_lo = cwb_lo_s[:]
+    first = True
+    off = 0
+    for s, ks in enumerate(spec.col_slots):
+        if ks == 0:
+            continue
+        bks = cap * ks
+        sl0, sl1 = off * cap, (off + ks) * cap
+        rel_s = rel[:, sl0:sl1] - s * wc                # [1, bks]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
+        oh = iota_w == rel_s                            # sentinel ≥ wc: no hit
+        ot_s = oh.astype(jnp.bfloat16)
+
+        # u_j gathered from the window's appended F-block (plain one-hot)
+        u_g = None
+        for p in wins:
+            part = jax.lax.dot_general(
+                ot_s, p[s * wc:(s + 1) * wc, 9 * f:10 * f],
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            u_g = part if u_g is None else u_g + part
+
+        # u_i row term: column-major edge e's row is e % cap
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (bks, cap), 0)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (bks, cap), 1)
+        rep = (iota_e % cap == iota_c).astype(jnp.bfloat16)
+        u_e = _rep_dot(rep, urow, spec.precise)         # [bks, F]
+
+        base = jax.lax.dot_general(                     # [bks, F]
+            at[:, sl0:sl1], w1a_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        pre1 = base + u_g + u_e
+        h = jax.nn.silu(pre1)
+        h = jax.nn.silu(jax.lax.dot_general(
+            h, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) + b2_ref[:])
+        h3 = jax.nn.silu(jax.lax.dot_general(
+            h, w3_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) + b3_ref[:])
+
+        # cutoff·mask folds into the gather one-hot (full-width broadcast
+        # planes sliced per column — see the Mosaic layout note above)
+        ots = [ot_s * cwb_hi[:, sl0:sl1]]
+        if spec.precise:
+            ots.append(ot_s * cwb_lo[:, sl0:sl1])
+        for d in range(9):
+            widx = 0 if d == 0 else (1 if d < 4 else 2)
+            xj_d = None
+            for i, o in enumerate(ots):
+                for j, p in enumerate(wins):
+                    if i + j > 1:
+                        continue  # lo·lo
+                    part = jax.lax.dot_general(
+                        o, p[s * wc:(s + 1) * wc, d * f:(d + 1) * f],
+                        (((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    xj_d = part if xj_d is None else xj_d + part
+            prod = xj_d * h3[:, widx * f:(widx + 1) * f]
+            # slot-major edge order: sum this column's slots per row
+            contrib = jnp.sum(prod.reshape(ks, cap, f), axis=0)
+            if first:
+                out_ref[0, :, d * f:(d + 1) * f] = contrib
+            else:
+                out_ref[0, :, d * f:(d + 1) * f] += contrib
+        first = False
+        off += ks
+
+
 def _dq_kernel(spec: CellBlockSpec, f: int, r: int, *refs):
     """Fused charge-fold backward (transposed): emits dpre1ᵀ [F, BK],
     the rbf cotangent [R, BK] and the (C·mask) cotangent [1, BK]."""
@@ -1203,12 +1322,118 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, *refs):
         preferred_element_type=jnp.float32, precision=prec)
 
 
+def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
+    """Column-grouped fused charge-fold backward: per-column transposed
+    recompute + cotangent fold (edges on lanes; per-column output slices
+    are lane-aligned by the col_slots 128-quantization)."""
+    if spec.precise:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
+         w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
+         dpre_out, dat_out, dcw_out, win, hi, lo, cwb3_s, sems) = refs
+    else:
+        (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
+         w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
+         dpre_out, dat_out, dcw_out, win, hi, cwb3_s, sems) = refs
+        lo = None
+    cap = spec.cap
+    wc = spec.rpc * spec.rlh
+    prec = _q_prec(spec)
+    _dma_window(spec, rs_ref, feats_hbm, win, sems)
+    wins = [p[:] for p in _split_window(spec, win, hi, lo)]
+
+    rel = rel_ref[0]
+    at = at_ref[0]
+    cw = cw_ref[0]
+    urow = urow_ref[0]                                   # [cap, F]
+    g_b = g_ref[0]                                       # [cap, 9F]
+    # full-width cw broadcast materialized through a SCRATCH store before
+    # the column loop (Mosaic cannot broadcast lane-offset [1, bks]
+    # slices — see _mp_kernel_q_grouped); f32 to keep the precise tier's
+    # cotangent scaling exact
+    bk = rel.shape[-1]
+    cwb3_s[:] = jnp.broadcast_to(cw, (3 * f, bk))
+    cwb3 = cwb3_s[:]
+    off = 0
+    for s, ks in enumerate(spec.col_slots):
+        if ks == 0:
+            continue
+        bks = cap * ks
+        sl0, sl1 = off * cap, (off + ks) * cap
+        rel_s = rel[:, sl0:sl1] - s * wc
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (wc, bks), 0)
+        ot_s = (iota_w == rel_s).astype(jnp.bfloat16)
+
+        def pdot_t(c0, c1):
+            out = None
+            for p in wins:
+                part = jax.lax.dot_general(
+                    p[s * wc:(s + 1) * wc, c0:c1], ot_s,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                out = part if out is None else out + part
+            return out
+
+        # --- recompute the forward chain, transposed (edges on lanes) ---
+        base_t = jax.lax.dot_general(                    # [F, bks]
+            w1a_ref[:], at[:, sl0:sl1], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ug_t = pdot_t(9 * f, 10 * f)
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bks), 0)
+        iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bks), 1)
+        rep_t = (iota_e % cap == iota_c).astype(jnp.bfloat16)  # [cap, bks]
+        ue_t = _rep_dot_t(urow, rep_t, spec.precise)     # [F, bks]
+        pre1_t = base_t + ug_t + ue_t
+        h1_t = jax.nn.silu(pre1_t)
+        z2_t = jax.lax.dot_general(                      # [2F, bks]
+            w2_ref[:], h1_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) + b2t_ref[:]
+        h2_t = jax.nn.silu(z2_t)
+        z3_t = jax.lax.dot_general(                      # [3F, bks]
+            w3_ref[:], h2_t, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) + b3t_ref[:]
+        h3_t = jax.nn.silu(z3_t)
+
+        # --- raw cotangent fold over the irrep blocks (transposed) ---
+        ch = [None, None, None]
+        for d in range(9):
+            widx = 0 if d == 0 else (1 if d < 4 else 2)
+            xj_dt = pdot_t(d * f, (d + 1) * f)           # [F, bks]
+            g_et = _rep_dot_t(g_b[:, d * f:(d + 1) * f], rep_t,
+                              spec.precise)
+            prod_t = g_et * xj_dt
+            ch[widx] = prod_t if ch[widx] is None else ch[widx] + prod_t
+        fold_t = jnp.concatenate(ch, axis=0)             # [3F, bks]
+        dcw_out[0, :, sl0:sl1] = jnp.sum(fold_t * h3_t, axis=0,
+                                         keepdims=True)
+        da_t = fold_t * cwb3[:, sl0:sl1]
+
+        # --- MLP tail backward, transposed ---
+        dz3_t = da_t * _dsilu(z3_t)
+        dh2_t = jax.lax.dot_general(                     # [2F, bks]
+            w3_ref[:], dz3_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dz2_t = dh2_t * _dsilu(z2_t)
+        dh1_t = jax.lax.dot_general(                     # [F, bks]
+            w2_ref[:], dz2_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dpre_t = dh1_t * _dsilu(pre1_t)
+        dpre_out[0, :, sl0:sl1] = dpre_t
+        dat_out[0, :, sl0:sl1] = jax.lax.dot_general(    # [R, bks]
+            w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        off += ks
+
+
 def _q_edge_t(x, spec: CellBlockSpec, k):
     """[n_pad, K, R] edge array → transposed per-block [n_blocks, R, BK]
     (R on sublanes, edges on lanes — R=num_rbf would lane-pad 4× the
-    other way)."""
+    other way).  Grouped specs use the COLUMN-MAJOR edge order
+    (e = slot·cap + row) matching ``_cheb_edge_layout``."""
     nb, cap = spec.n_blocks, spec.cap
     r = x.shape[-1]
+    if spec.col_slots is not None:
+        return (x.reshape(nb, cap, k, r).transpose(0, 3, 2, 1)
+                 .reshape(nb, r, k * cap))
     return (x.reshape(nb, cap, k, r).transpose(0, 3, 1, 2)
              .reshape(nb, r, cap * k))
 
@@ -1226,7 +1451,12 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
     n_blocks = spec.n_blocks
     bk = cap * k
     assert window_src.shape == (n_pad, c9 + f) and n_pad == spec.n_pad
-    assert spec.col_slots is None, "q-tier: ungrouped only"
+    grouped = spec.col_slots is not None
+    if grouped:
+        assert k == sum(spec.col_slots), (k, spec.col_slots)
+        kernel = functools.partial(_mp_kernel_q_grouped, spec, f, r)
+    else:
+        kernel = functools.partial(_mp_kernel_q, spec, f, r)
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1245,15 +1475,27 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b3 [1, 3F]
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    wc = spec.rpc * spec.rlh
     scratch = [
         pltpu.VMEM((spec.window, c9 + f), jnp.float32),
         pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
-        pltpu.VMEM((spec.window, bk), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((spec.nr,)),
     ]
-    if spec.precise:
-        scratch.insert(2, pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16))
+    if grouped:
+        # materialized full-width cw·mask broadcast plane(s) — Mosaic
+        # cannot broadcast lane-offset [1, bks] slices (see kernel note)
+        scratch.insert(-1, pltpu.VMEM((wc, bk), jnp.bfloat16))
+        if spec.precise:
+            scratch.insert(2, pltpu.VMEM((spec.window, c9 + f),
+                                         jnp.bfloat16))
+            scratch.insert(-1, pltpu.VMEM((wc, bk), jnp.bfloat16))
+    else:
+        # whole-window one-hot scratch (grouped builds per-column values)
         scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
+        if spec.precise:
+            scratch.insert(2, pltpu.VMEM((spec.window, c9 + f),
+                                         jnp.bfloat16))
+            scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
@@ -1263,7 +1505,7 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
-        functools.partial(_mp_kernel_q, spec, f, r),
+        kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
@@ -1292,7 +1534,12 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
     cap = spec.cap
     n_blocks = spec.n_blocks
     bk = cap * k
-    assert spec.col_slots is None, "q-tier: ungrouped only"
+    grouped = spec.col_slots is not None
+    if grouped:
+        assert k == sum(spec.col_slots), (k, spec.col_slots)
+        kernel = functools.partial(_dq_kernel_grouped, spec, f, r)
+    else:
+        kernel = functools.partial(_dq_kernel, spec, f, r)
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1316,9 +1563,12 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
     scratch = [
         pltpu.VMEM((spec.window, c9 + f), jnp.float32),
         pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
-        pltpu.VMEM((spec.window, bk), jnp.bfloat16),
         pltpu.SemaphoreType.DMA((spec.nr,)),
     ]
+    if grouped:
+        scratch.insert(-1, pltpu.VMEM((3 * f, bk), jnp.float32))
+    else:
+        scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16))
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1336,7 +1586,7 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         scratch_shapes=scratch,
     )
     dpre_t, dat_t, dcw = pl.pallas_call(
-        functools.partial(_dq_kernel, spec, f, r),
+        kernel,
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_blocks, f, bk), jnp.float32),
@@ -1355,6 +1605,14 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
       b2.astype(jnp.float32).reshape(-1, 1),
       w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(-1, 1),
       window_src.astype(jnp.float32))
+    if grouped:  # column-major edge order: e = slot·cap + row
+        dpre = (dpre_t.reshape(n_blocks, f, k, cap).transpose(0, 3, 2, 1)
+                      .reshape(n_pad, k, f))
+        dat = (dat_t.reshape(n_blocks, r, k, cap).transpose(0, 3, 2, 1)
+                    .reshape(n_pad, k, r))
+        dcw_r = (dcw.reshape(n_blocks, k, cap).transpose(0, 2, 1)
+                    .reshape(n_pad, k))
+        return dpre, dat, dcw_r
     dpre = (dpre_t.reshape(n_blocks, f, cap, k).transpose(0, 2, 3, 1)
                   .reshape(n_pad, k, f))
     dat = (dat_t.reshape(n_blocks, r, cap, k).transpose(0, 2, 3, 1)
