@@ -268,15 +268,20 @@ def bench_northstar():
         coulomb_cell_stencil=cs,
         coulomb_cell_capacity=cc,
     )
+    # Cell-blocked fused q-tier ON by default — the measured winner at the
+    # 25k north-star (2026-08-20, real v5e): blocked fast ungrouped cap=16
+    # 904.7 ms/step vs 1195.6 gather.  Grouped (column-partitioned) specs
+    # OOM HBM at this scale (col_slots sum K'=320 inflates every [N,K']
+    # edge array 3.3x) — ungrouped is the production tier here.
     cell_block_spec = None
-    if os.environ.get("BENCH_MD_BLOCKED", "0") == "1":
+    if os.environ.get("BENCH_MD_BLOCKED", "1") == "1":
         from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
 
         cell_block_spec = tune_cell_block_spec(
             jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0,
-            cap=int(os.environ.get("BENCH_MD_CAP", 8)),
-            precise=os.environ.get("BENCH_MD_PRECISE", "1") == "1",
-            column_slots=os.environ.get("BENCH_MD_GROUPED", "1") == "1")
+            cap=int(os.environ.get("BENCH_MD_CAP", 16)),
+            precise=os.environ.get("BENCH_MD_PRECISE", "0") == "1",
+            column_slots=os.environ.get("BENCH_MD_GROUPED", "0") == "1")
         args.update(cell_block_spec=cell_block_spec)
     pot = create_model(args)
     zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)

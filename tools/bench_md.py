@@ -13,8 +13,10 @@ MD_TAB (Chebyshev terms for tensornet, 128), MD_REBUILD (25), MD_REMAT (1),
 MD_EMB (fused radial-embedding kernel, 0), MD_MODEL (tensornet2),
 MD_PALLAS (fused edge MLP for tensornet2, 1), MD_QDIM (16),
 MD_COULOMB_RC (10.0; 0 disables the Coulomb head → plain Scalar),
-MD_SYS (gas|lattice), MD_PREC (32), MD_BLOCKED (cell-blocked Pallas MP
-tier, 0), MD_CAP (rows/block for the blocked tier, 8).
+MD_SYS (lattice|gas), MD_PREC (32), MD_BLOCKED (cell-blocked Pallas MP
+tier, 1 — the measured 25k winner), MD_CAP (rows/block, 16),
+MD_GROUPED (column-partitioned slots, 0 — OOMs at 25k),
+MD_PRECISE (hi/lo production-force gathers, 0).
 Numbers recorded in docs/PERF.md.
 """
 import os, sys, time
@@ -37,7 +39,7 @@ QDIM = int(os.environ.get("MD_QDIM", 16))
 COULOMB_RC = float(os.environ.get("MD_COULOMB_RC", 10.0))
 rng = np.random.RandomState(0)
 L = (N / 0.1) ** (1.0 / 3.0)
-if os.environ.get("MD_SYS", "gas") == "lattice":
+if os.environ.get("MD_SYS", "lattice") == "lattice":
     # Condensed-matter-like: jittered cubic lattice at the same density.
     # Bounded local occupancy (like a real solvated system) ⇒ K=96 is
     # honest; the ideal-gas system needs K=128 purely from Poisson tails.
@@ -108,7 +110,7 @@ else:
             coulomb_cell_stencil=_cs,
             coulomb_cell_capacity=_cc,
         )
-BLOCKED = os.environ.get("MD_BLOCKED", "0") == "1"
+BLOCKED = os.environ.get("MD_BLOCKED", "1") == "1"
 cell_block_spec = None
 if BLOCKED:
     from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
@@ -117,11 +119,13 @@ if BLOCKED:
     # cutoff+skin and every listed edge must be window-covered).
     # MD_GROUPED=1 (default): column-partitioned slots — gather FLOPs
     # ∝ W/9; MD_PRECISE=1: hi/lo bf16 split (production forces).
+    # Defaults = the measured 25k winner (2026-08-20): ungrouped cap=16
+    # fast tier, 904.7 ms/step vs 1195.6 gather; grouped OOMs at 25k.
     cell_block_spec = tune_cell_block_spec(
         jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0,
-        cap=int(os.environ.get("MD_CAP", 8)),
+        cap=int(os.environ.get("MD_CAP", 16)),
         precise=os.environ.get("MD_PRECISE", "0") == "1",
-        column_slots=os.environ.get("MD_GROUPED", "1") == "1")
+        column_slots=os.environ.get("MD_GROUPED", "0") == "1")
     print(f"blocked spec: {cell_block_spec} window="
           f"{cell_block_spec.window}", flush=True)
     args.update(cell_block_spec=cell_block_spec)
