@@ -88,6 +88,46 @@ class CellBlocks(NamedTuple):
     spec: CellBlockSpec
 
 
+class StencilWindowSpec(NamedTuple):
+    """Static knobs of a *secondary* stencil window over an existing
+    :class:`CellBlockSpec` sort — the direct-pair Coulomb tier
+    (ops/pallas_coulomb.py) covers the Coulomb cutoff with a ±S column
+    stencil and its own run budget on the SAME sorted row space, so one
+    sort serves both the MP windows and the Coulomb windows."""
+
+    s: int           # stencil radius in xy columns (window = (2S+1)²)
+    cut_bins: int    # cutoff in fine z-bins (ceil) + 1 slop bin
+    rpc: int         # runs per stencil column
+    rlh: int         # rows per run (multiple of 8)
+
+    @property
+    def nsc(self) -> int:
+        return (2 * self.s + 1) ** 2
+
+    @property
+    def nr(self) -> int:
+        return self.nsc * self.rpc
+
+    @property
+    def window(self) -> int:
+        return self.nr * self.rlh
+
+
+class StencilWindows(NamedTuple):
+    """Rebuild-time window geometry for one stencil spec (the MP 3×3
+    windows are :class:`CellBlocks`; this is the generalized per-block
+    view plus the *exact* piece bounds the direct-pair kernels mask by)."""
+
+    run_starts: jnp.ndarray  # [n_blocks, NR] int32 (8-floored row starts)
+    nr1: jnp.ndarray         # [n_blocks, NSC] runs used by piece 1
+    nr2: jnp.ndarray         # [n_blocks, NSC] runs used by piece 2
+    a1: jnp.ndarray          # [n_blocks, NSC] piece-1 exact start row
+    e1: jnp.ndarray          # [n_blocks, NSC] piece-1 exact end row
+    a2: jnp.ndarray          # [n_blocks, NSC] piece-2 exact start row
+    e2: jnp.ndarray          # [n_blocks, NSC] piece-2 exact end row
+    overflow: jnp.ndarray    # bool: run budget exceeded somewhere
+
+
 def make_cell_block_spec(
     box_diag,
     cutoff: float,
@@ -246,6 +286,56 @@ def tune_cell_block_spec(
     return spec._replace(col_slots=slots)
 
 
+def tune_stencil_window_spec(
+    pos,
+    box_diag,
+    spec: CellBlockSpec,
+    cutoff: float,
+    *,
+    rlh: int = 32,
+    slack_runs: int = 1,
+) -> StencilWindowSpec:
+    """Data-driven :class:`StencilWindowSpec` for a secondary cutoff over
+    ``spec``'s sort (the direct-pair Coulomb tier): stencil radius from the
+    concrete column widths, run budget read off a generous probe plan.
+
+    The direct-pair kernel's work scales with the *static* window
+    ``(2S+1)²·rpc·rlh``, so ``rpc`` is measured, not estimated.  ``rlh``
+    defaults to 32 (vs the MP kernels' 8): the Coulomb window covers
+    ~4× the z-extent, and fewer, longer runs cut the per-block DMA count
+    ~4× at a ≤(rlh−1)-row junk cost per piece (junk is masked exactly)."""
+    import numpy as np
+
+    bd = np.asarray(jax.device_get(jnp.asarray(box_diag)), np.float64)
+    wx, wy = bd[0] / spec.nx, bd[1] / spec.ny
+    s = max(int(np.ceil(cutoff / wx)), int(np.ceil(cutoff / wy)), 1)
+    if 2 * s + 1 > min(spec.nx, spec.ny):
+        raise ValueError(
+            f"stencil 2S+1={2*s+1} exceeds the {spec.nx}x{spec.ny} xy grid "
+            "(a wrapped stencil would double-count columns) — box too "
+            f"small for a direct-pair window at cutoff {cutoff}")
+    zbin = bd[2] / spec.nzf
+    cut_bins = int(np.ceil(cutoff / zbin)) + 1
+    rlh = max(int(np.ceil(rlh / 8) * 8), 8)
+    # generous probe budget from density, then read off the actual max
+    n_atoms = pos.shape[0]
+    rho_col = n_atoms / (spec.nx * spec.ny) / bd[2]
+    span = spec.cap / max(rho_col, 1e-9)
+    z_ext = 2.0 * (cut_bins + 1) * zbin + span
+    rows = z_ext * rho_col * 4.0 + 2 * 8
+    probe = StencilWindowSpec(
+        s=s, cut_bins=cut_bins, rlh=rlh,
+        rpc=max(int(np.ceil(rows / rlh)), 2))
+    win = plan_stencil_windows(jnp.asarray(pos), jnp.asarray(box_diag),
+                               spec, probe)
+    if bool(win.overflow):
+        raise ValueError(
+            "tune_stencil_window_spec: probe overflowed at 4x headroom "
+            "(pathological density concentration?)")
+    used = int(jax.device_get(jnp.max(win.nr1 + win.nr2)))
+    return probe._replace(rpc=max(used + slack_runs, 2))
+
+
 def tune_column_slots(blocks: "CellBlocks", idx, mask, pos_s, box_diag,
                       slack: int = 2) -> tuple:
     """Per-stencil-column slot budgets for the grouped blocked-MP kernel,
@@ -295,13 +385,36 @@ def plan_cell_blocks(pos, box_diag, spec: CellBlockSpec) -> CellBlocks:
     :func:`edge_rel` after the neighbor list is built on the sorted
     positions).  ``pos`` [N, 3] is in the *original* atom order."""
     arrays = _plan_impl(pos, box_diag, spec)
-    return CellBlocks(*arrays, spec=spec)
+    return CellBlocks(*arrays[:10], spec=spec)
 
 
-@partial(jax.jit, static_argnames=("spec",))
-def _plan_impl(pos, box_diag, spec: CellBlockSpec):
+def plan_stencil_windows(pos, box_diag, spec: CellBlockSpec,
+                         wspec: StencilWindowSpec) -> StencilWindows:
+    """Window-run geometry for a secondary (±S, cutoff) stencil over the
+    SAME sort as ``plan_cell_blocks(pos, box_diag, spec)`` — the sort is a
+    pure function of (pos, box, spec), so the row space is shared and a
+    direct-pair kernel over these windows sees exactly the atoms the MP
+    blocks do.  Mutual coverage: pairs within the wspec cutoff are in each
+    other's windows (|Δzbin| ≤ cut_bins − 1 and |Δcol| ≤ S both ways)."""
+    arrays = _plan_impl(pos, box_diag, spec, wspec)
+    (run_starts, nr1, _a1f, _a2f, e1, e2, overflow) = arrays[3:10]
+    nr2, ex_a1, ex_a2 = arrays[10:13]
+    return StencilWindows(run_starts, nr1, nr2, ex_a1, e1, ex_a2, e2,
+                          overflow)
+
+
+@partial(jax.jit, static_argnames=("spec", "wspec"))
+def _plan_impl(pos, box_diag, spec: CellBlockSpec,
+               wspec: Optional[StencilWindowSpec] = None):
     n = pos.shape[0]
-    cap, rpc, rlh, nzf = spec.cap, spec.rpc, spec.rlh, spec.nzf
+    cap, nzf = spec.cap, spec.nzf
+    if wspec is None:
+        rpc, rlh, stencil_s, cut_bins = spec.rpc, spec.rlh, 1, spec.cut_bins
+        nr_total = spec.nr
+    else:
+        rpc, rlh, stencil_s, cut_bins = (wspec.rpc, wspec.rlh, wspec.s,
+                                         wspec.cut_bins)
+        nr_total = wspec.nr
     ncols = spec.nx * spec.ny
     n_pad = spec.n_pad
     n_blocks = spec.n_blocks
@@ -344,8 +457,8 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     zf_pad = jnp.where(mask_rows, zf[jnp.minimum(perm, n - 1)], -1)
     zf_b = zf_pad.reshape(n_blocks, cap)
     any_real = (zf_b >= 0).any(axis=1)
-    zlo = jnp.min(jnp.where(zf_b >= 0, zf_b, nzf), axis=1) - spec.cut_bins
-    zhi = jnp.max(zf_b, axis=1) + spec.cut_bins
+    zlo = jnp.min(jnp.where(zf_b >= 0, zf_b, nzf), axis=1) - cut_bins
+    zhi = jnp.max(zf_b, axis=1) + cut_bins
     zlo = jnp.where(any_real, zlo, 0)
     zhi = jnp.where(any_real, zhi, -1)                # empty window
 
@@ -354,8 +467,10 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     col_b = col_pad.reshape(n_blocks, cap)[:, 0]
     cx = col_b // spec.ny
     cy = col_b % spec.ny
-    dx = jnp.array([-1, -1, -1, 0, 0, 0, 1, 1, 1], jnp.int32)
-    dy = jnp.array([-1, 0, 1, -1, 0, 1, -1, 0, 1], jnp.int32)
+    # stencil offsets in the builder's (dx,dy) ij order, radius S
+    offs = np.arange(-stencil_s, stencil_s + 1, dtype=np.int32)
+    dx = jnp.asarray(np.repeat(offs, 2 * stencil_s + 1))
+    dy = jnp.asarray(np.tile(offs, 2 * stencil_s + 1))
     sx = (cx[:, None] + dx[None, :]) % spec.nx
     sy = (cy[:, None] + dy[None, :]) % spec.ny
     scol = sx * spec.ny + sy                          # [n_blocks, 9]
@@ -394,6 +509,13 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     a2 = jnp.where(empty, base, a2)
     e2 = jnp.where(empty, base, e2)
 
+    # Exact (pre-floor) piece starts: the direct-pair kernels mask window
+    # slots by [exact start, end) so 8-floor junk, gap rows, and unused-run
+    # tiles can never alias a row covered by the other piece (double-count
+    # hazard — the one-hot MP kernels are immune because ``rel`` addresses
+    # specific slots, but a direct-pair sum counts every unmasked row).
+    ex_a1, ex_a2 = a1, a2
+
     # Mosaic can only slice HBM at tile-aligned (8-row for f32) offsets,
     # and it needs a static *proof* — so piece starts are floored to
     # multiples of 8 here (the extra sub-piece rows are harmless junk
@@ -413,8 +535,12 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     runs_merged = (merged_len + rlh - 1) // rlh
     merge = has2 & (runs_merged <= runs_split)
     a1 = jnp.where(merge, a2, a1)
+    # merged exact piece-1 start = piece-2's exact start (the merged runs
+    # begin at floored a2); exact piece-2 becomes empty
+    ex_a1 = jnp.where(merge, ex_a2, ex_a1)
     a2 = jnp.where(merge, e2, a2)
     e2 = jnp.where(merge, a2, e2)
+    ex_a2 = jnp.where(merge, e2, ex_a2)
 
     len1 = e1 - a1
     len2 = e2 - a2
@@ -434,13 +560,15 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec):
     # unused runs (j ≥ nr1+nr2) may start at unaligned piece remnants;
     # floor them too — they DMA junk that nothing addresses.
     starts = (starts // 8) * 8
-    run_starts = starts.reshape(n_blocks, spec.nr).astype(jnp.int32)
+    run_starts = starts.reshape(n_blocks, nr_total).astype(jnp.int32)
 
     return (perm, inv_perm, mask_rows, run_starts,
             nr1.astype(jnp.int32),
             a1.astype(jnp.int32), a2.astype(jnp.int32),
             e1.astype(jnp.int32), e2.astype(jnp.int32),
-            overflow)
+            overflow,
+            nr2.astype(jnp.int32),
+            ex_a1.astype(jnp.int32), ex_a2.astype(jnp.int32))
 
 
 @partial(jax.jit, static_argnames=("spec",))
