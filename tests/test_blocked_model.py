@@ -365,3 +365,56 @@ def test_blocked_tensornet2_precise_absolute_force_bar():
     # bar is meaningful, not vacuous
     assert np.abs(f0).max() > 1e-2, np.abs(f0).max()
     assert dev < 1e-4, (dev, np.abs(f0).max())
+
+
+def test_md_windowed_coulomb_matches_list_path():
+    """Blocked TensorNet2+Coulomb MD with the windowed direct-pair tier
+    (coulomb_window_spec="auto"): t=0 energy/forces match the blocked
+    run with the skin-cached Coulomb LIST to f32 accuracy (the two runs
+    share the MP tier, so the diff isolates ops/pallas_coulomb.py), and
+    chunks advance identically."""
+    from torchmdnet_tpu.md.integrators import make_md_step
+
+    cutoff, k = 3.2, 48
+    rc = 4.0
+    z, pos, box, L = _system(n=500)
+    n = len(z)
+    batch = jnp.zeros((n,), jnp.int32)
+    zj, pj, bj = jnp.asarray(z), jnp.asarray(pos), jnp.asarray(box)
+    masses = np.full((n,), 12.0)
+    q = jnp.zeros((1,), jnp.float32)
+
+    args = _args("tensornet2", cutoff, k)
+    args.update(
+        output_model="ScalarPlusWeightedCoulomb",
+        q_weights=[[1.0] * 4] * 3,
+        coulomb_cutoff=rc, coulomb_max_num_neighbors=64,
+    )
+    spec = tune_cell_block_spec(pj, jnp.diag(bj), cutoff + 0.5, cap=8)
+    pot_b = create_model(dict(args, cell_block_spec=spec))
+    variables = pot_b.init(jax.random.PRNGKey(0), zj, pj, batch,
+                           num_mols=1, box=bj, q=q)
+
+    kw = dict(dt=0.2, num_mols=1, box=bj, q=q, rebuild_every=3, skin=0.5,
+              temperature=None)
+    init_l, chunk_l, _ = make_md_step(pot_b, variables, zj, batch, masses,
+                                      cell_block_spec=spec, **kw)
+    init_w, chunk_w, _ = make_md_step(pot_b, variables, zj, batch, masses,
+                                      cell_block_spec=spec,
+                                      coulomb_window_spec="auto", **kw)
+
+    sl = init_l(pos, seed=1)
+    sw = init_w(pos, seed=1)
+    assert sl.cnbr_idx is not None and sw.cnbr_idx is None
+    assert sw.cwin_rs is not None
+    assert not bool(sl.overflow) and not bool(sw.overflow)
+    fl, fw = np.asarray(sl.force), np.asarray(sw.force)
+    scale = np.abs(fl).max() + 1e-30
+    assert np.abs(fw - fl).max() / scale < 3e-5, \
+        np.abs(fw - fl).max() / scale
+
+    sl, sw = chunk_l(sl), chunk_w(sw)
+    assert not bool(sw.overflow)
+    dp = np.abs(np.asarray(sw.pos) - np.asarray(sl.pos)).max()
+    assert dp < 1e-4, dp
+    assert np.isfinite(np.asarray(sw.pos)).all()

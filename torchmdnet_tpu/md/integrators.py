@@ -58,6 +58,11 @@ class MDState(NamedTuple):
     # re-specs/falls back before stepping; the plain chunk folds it into
     # the sticky ``overflow`` flag.
     blk_overflow: jnp.ndarray = None
+    # windowed direct-pair Coulomb tier (ops/pallas_coulomb.py): stencil
+    # window runs + slot mask over the SAME sort, refreshed per rebuild
+    # (replaces cnbr_idx/cnbr_mask when active)
+    cwin_rs: jnp.ndarray = None    # [n_blocks, 1, NR] int32 (//8)
+    cwin_mask: jnp.ndarray = None  # [n_blocks, 1, W] f32
 
 
 def maxwell_boltzmann_velocities(key, masses, temperature, shape_like):
@@ -89,6 +94,7 @@ def make_md_step(
     neighbor_strategy: str = "brute",
     cells_per_dim=None,
     cell_block_spec=None,
+    coulomb_window_spec=None,
 ):
     """Build ``(init_state, chunk)``: ``chunk`` advances ``rebuild_every``
     jitted steps with one neighbor rebuild.
@@ -159,7 +165,33 @@ def make_md_step(
     coulomb_rc = getattr(out_mod, "coulomb_cutoff", None)
     has_coulomb_list = coulomb_rc is not None
 
-    if has_coulomb_list:
+    # Windowed direct-pair Coulomb (ops/pallas_coulomb.py): replaces the
+    # skin-cached list on the blocked path — stencil windows are planned
+    # over the SAME sort at every rebuild, and the head evaluates all
+    # window pairs in a Pallas kernel (no gathers).  ``coulomb_window_spec``
+    # is a StencilWindowSpec, or "auto" to tune it from the first
+    # ``init_state`` positions at the skin-padded cutoff.
+    use_cwin = (coulomb_window_spec is not None and has_coulomb_list
+                and cell_block_spec is not None)
+    _cw = {"wspec": coulomb_window_spec
+           if not isinstance(coulomb_window_spec, str) else None}
+
+    def _resolve_cwspec(pos, force=False):
+        if not use_cwin or (_cw["wspec"] is not None and not force):
+            return
+        from torchmdnet_tpu.ops.cell_blocks import (
+            tune_stencil_window_spec,
+        )
+
+        _bx0 = jnp.asarray(box)
+        if _bx0.ndim == 3:
+            _bx0 = _bx0[0]
+        _cw["wspec"] = tune_stencil_window_spec(
+            jnp.asarray(pos), jnp.diag(_bx0), cell_block_spec,
+            float(coulomb_rc) + skin,
+            slack_runs=2 if force else 1)
+
+    if has_coulomb_list and not use_cwin:
         rc_skin = float(coulomb_rc) + skin
         ckwargs = dict(
             strategy=neighbor_strategy,
@@ -267,8 +299,20 @@ def make_md_step(
                 jnp.array(False),
                 st.nbr_rev,
             )
-            coulomb_nbr = None
-            if has_coulomb_list:
+            coulomb_nbr = coulomb_win = None
+            if use_cwin:
+                from torchmdnet_tpu.ops.pallas_coulomb import (
+                    CoulombWindows,
+                )
+
+                cwb = CoulombWindows(
+                    st.cwin_rs, st.cwin_mask,
+                    st.mask_rows.astype(jnp.float32),
+                    bd.reshape(1, 3).astype(jnp.float32),
+                    jnp.array(False),
+                )
+                coulomb_win = (cwb, cell_block_spec, _cw["wspec"])
+            elif has_coulomb_list:
                 coulomb_nbr = NeighborMatrix(
                     st.cnbr_idx,
                     st.cnbr_mask,
@@ -280,6 +324,7 @@ def make_md_step(
             y = potential.energy(
                 variables, st.zs, pos_s, st.batchs, num_mols=num_mols,
                 box=box, q=q, nbr=nbr, coulomb_nbr=coulomb_nbr,
+                coulomb_win=coulomb_win,
                 blocked=BlockedMP(st.rel, st.run_starts),
             )
             return jnp.sum(y)
@@ -363,7 +408,24 @@ def make_md_step(
                 zs=zs,
                 batchs=batchs,
             )
-            if has_coulomb_list:
+            if use_cwin:
+                from torchmdnet_tpu.ops.cell_blocks import (
+                    plan_stencil_windows,
+                )
+                from torchmdnet_tpu.ops.pallas_coulomb import (
+                    make_coulomb_windows,
+                )
+
+                swin = plan_stencil_windows(
+                    state.pos, bd, cell_block_spec, _cw["wspec"])
+                cw = make_coulomb_windows(
+                    swin, _cw["wspec"], am_s, bd, spec=cell_block_spec)
+                state = state._replace(
+                    cwin_rs=cw.run_starts8,
+                    cwin_mask=cw.slot_mask,
+                    blk_overflow=state.blk_overflow | cw.overflow,
+                )
+            elif has_coulomb_list:
                 cnbr = build_neighbor_matrix(
                     pos_s, batchs, atom_mask=am_s, **ckwargs)
                 state = state._replace(
@@ -419,6 +481,7 @@ def make_md_step(
             pos, jnp.asarray(vel), jnp.zeros_like(pos), None, None, None,
             key, jnp.zeros((), jnp.int32), jnp.zeros((), jnp.bool_),
         )
+        _resolve_cwspec(pos)
         return _rebuild(st)
 
     def init_state(pos, vel=None, seed=0):
@@ -432,6 +495,7 @@ def make_md_step(
     chunk._steps = _steps
     chunk._init_force = _init_force
     chunk._init_raw = _init_raw
+    chunk._resolve_cwspec = _resolve_cwspec
 
     if use_blocked:
         return init_state, chunk, jax.jit(energy_state)
@@ -540,6 +604,7 @@ def make_adaptive_md_step(
                 f"{int(jax.device_get(state.step))}; re-spec'd "
                 f"rpc {old.rpc} -> {new_spec.rpc} (recompile)")
             _build(new_spec)
+            cur["chunk"]._resolve_cwspec(state.pos, force=True)
             st = cur["chunk"]._rebuild(_fresh_state(state))
             if not bool(jax.device_get(st.blk_overflow)):
                 return st

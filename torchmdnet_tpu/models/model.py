@@ -54,6 +54,7 @@ class TorchMDNet(nn.Module):
         extra_args: Optional[Dict[str, Any]] = None,
         nbr=None,
         coulomb_nbr=None,
+        coulomb_win=None,
         blocked=None,
     ):
         atom_mask = batch < num_mols
@@ -86,6 +87,10 @@ class TorchMDNet(nn.Module):
             # MD passes a skin-cached Coulomb neighbor list (only the
             # Coulomb head consumes it)
             pre_kwargs["nbr"] = coulomb_nbr
+        if coulomb_win is not None:
+            # windowed direct-pair Coulomb tier (blocked MD path): a
+            # (CoulombWindows, spec, wspec) bundle over the sorted space
+            pre_kwargs["win"] = coulomb_win
         x = self.output_model.pre_reduce(
             x, v, z, pos, batch, box=box, num_mols=num_mols, **pre_kwargs
         )
@@ -122,11 +127,11 @@ class Potential:
 
     def energy(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
                s=None, extra_args=None, nbr=None, coulomb_nbr=None,
-               blocked=None):
+               blocked=None, coulomb_win=None):
         return self.module.apply(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q, s=s,
             extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
-            blocked=blocked,
+            blocked=blocked, coulomb_win=coulomb_win,
         )
 
     def apply(self, variables, z, pos, batch, *, num_mols, box=None, q=None,

@@ -240,11 +240,34 @@ class ScalarPlusWeightedCoulomb(OutputModel):
         return int(density * volume)
 
     def pre_reduce(self, x, v, z, pos, batch, box=None, num_mols=None,
-                   nbr=None):
+                   nbr=None, win=None):
         charges = x[:, self.hidden_channels:]
         x = x[:, : self.hidden_channels]
         x = self.output_network(x)
         qw = self.qweights.astype(x.dtype)
+
+        if win is not None:
+            # Windowed direct-pair tier (ops/pallas_coulomb.py): the MD
+            # blocked path plans (±S, rc+skin) stencil windows over the
+            # SAME cell-block sort the model already runs in, and the
+            # Pallas kernel evaluates all window pairs — no neighbor
+            # list, no gather.  ``win`` = (CoulombWindows, spec, wspec).
+            import jax
+
+            from torchmdnet_tpu.ops.pallas_coulomb import (
+                windowed_coulomb_energy,
+            )
+
+            cwin, spec, wspec = win
+            factor = self._FACTOR / float(
+                sum(float(v_) for row in self.q_weights for v_ in row)
+            )
+            e_i = windowed_coulomb_energy(
+                pos, qw, charges, cwin, spec, wspec,
+                float(self.coulomb_cutoff), float(self.epsilon_solvent),
+                factor, jax.default_backend() != "tpu",
+            )
+            return x + e_i[:, None]
 
         if self.coulomb_cutoff is None:
             if box is not None:
