@@ -15,6 +15,7 @@ MD_PALLAS (fused edge MLP for tensornet2, 1), MD_QDIM (16),
 MD_COULOMB_RC (10.0; 0 disables the Coulomb head → plain Scalar),
 MD_SYS (lattice|gas), MD_PREC (32), MD_BLOCKED (cell-blocked Pallas MP
 tier, 1 — the measured 25k winner), MD_CAP (rows/block, 16),
+MD_CWIN (windowed direct-pair Coulomb kernel, 1 when blocked),
 MD_GROUPED (column-partitioned slots, 0 — OOMs at 25k),
 MD_PRECISE (hi/lo production-force gathers, 0).
 Numbers recorded in docs/PERF.md.
@@ -145,11 +146,18 @@ print(f"init compile {time.time()-t0:.0f}s", flush=True)
 # and the honest K=96 list overflows.  Timing is shape-static (dt cannot
 # change the measured cost); the small dt just keeps the overflow surface
 # clean over the measured window.
+# Windowed direct-pair Coulomb (ops/pallas_coulomb.py): default on
+# whenever the blocked tier + Coulomb head are active — it replaces the
+# skin-cached ~770-slot list (and its rebuild) with stencil-window
+# Pallas kernels.  MD_CWIN=0 restores the list path.
+CWIN = (BLOCKED and MODEL == "tensornet2" and COULOMB_RC > 0
+        and os.environ.get("MD_CWIN", "1") == "1")
 init_state, chunk, energy_fn = make_md_step(
     pot, variables, zj, batch, masses,
     dt=float(os.environ.get("MD_DT", 0.05)), num_mols=1, box=bj, q=q,
     rebuild_every=REBUILD, skin=1.0, temperature=300.0,
-    neighbor_strategy="cell", cell_block_spec=cell_block_spec)
+    neighbor_strategy="cell", cell_block_spec=cell_block_spec,
+    coulomb_window_spec="auto" if CWIN else None)
 t0 = time.time()
 state = init_state(pos, seed=1)
 jax.block_until_ready(state.pos)

@@ -292,6 +292,13 @@ def _pad_src(x, rlh: int):
     return jnp.pad(x, ((0, rlh), (0, _lane_pad(x.shape[1]) - x.shape[1])))
 
 
+def _vmem_params():
+    # [cap, W] f32 pair planes (geometry, kernel matrix, pd, masks) plus
+    # the [W, 128] window scratch pass the 16 MB scoped default at the
+    # 25k north-star window sizes (W≈5-6k)
+    return pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 def _common_specs(spec, wspec, ncols, cwin):
     nr, wlen = wspec.nr, wspec.window
     in_specs = [
@@ -332,6 +339,7 @@ def _make_wc_fwd(spec: CellBlockSpec, wspec: StencilWindowSpec, c: int,
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c), jnp.float32),
+            compiler_params=_vmem_params(),
             interpret=interpret,
         )(cwin.run_starts8, cwin.box_diag, rows, cwin.slot_mask, src)
         return phi.reshape(spec.n_pad, c)
@@ -372,6 +380,7 @@ def _make_wc_bwd(spec: CellBlockSpec, wspec: StencilWindowSpec, c: int,
                 jax.ShapeDtypeStruct((n_blocks, cap, 3), jnp.float32),
                 jax.ShapeDtypeStruct((n_blocks, cap, c), jnp.float32),
             ],
+            compiler_params=_vmem_params(),
             interpret=interpret,
         )(cwin.run_starts8, cwin.box_diag, rows, cwin.slot_mask,
           qw.reshape(1, c), src)
