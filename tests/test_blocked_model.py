@@ -412,6 +412,11 @@ def test_md_windowed_coulomb_matches_list_path():
     scale = np.abs(fl).max() + 1e-30
     assert np.abs(fw - fl).max() / scale < 3e-5, \
         np.abs(fw - fl).max() / scale
+    # BASELINE bar in its own units: <= 1e-4 eV/A ABSOLUTE deviation of
+    # the windowed-Coulomb forces vs the f32 list path (reference parity
+    # contract rtol=atol=1e-4, ``tests/test_warp_ops.py:85-86``)
+    assert np.abs(fl).max() > 1e-2  # non-vacuous scale
+    assert np.abs(fw - fl).max() < 1e-4, np.abs(fw - fl).max()
 
     sl, sw = chunk_l(sl), chunk_w(sw)
     assert not bool(sw.overflow)

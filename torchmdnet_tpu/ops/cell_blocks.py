@@ -228,6 +228,18 @@ def tune_cell_block_spec(
     between spec refreshes (the rebuild overflow flag still guards it).
     """
     n_atoms = pos.shape[0]
+    # Tuning is pure geometry probing and returns only static ints — pin
+    # it to CPU so the probe plans never hit the (remote) TPU compiler:
+    # each headroom probe is a fresh spec = a fresh jit, minutes each via
+    # a compile service vs seconds on host (measured 2026-08-20: ~8 min
+    # of 25k bench startup was tune-probe compiles).
+    import numpy as _np
+
+    _cpu = jax.devices("cpu")[0]
+    pos = jax.device_put(_np.asarray(jax.device_get(jnp.asarray(pos))),
+                         _cpu)
+    box_diag = jax.device_put(
+        _np.asarray(jax.device_get(jnp.asarray(box_diag))), _cpu)
     for headroom in (2.5, 4.0, 6.0, 9.0, 14.0):
         probe = make_cell_block_spec(
             box_diag, cutoff, n_atoms, cap=cap, rlh=rlh, zf_width=zf_width,
@@ -306,6 +318,12 @@ def tune_stencil_window_spec(
     ~4× at a ≤(rlh−1)-row junk cost per piece (junk is masked exactly)."""
     import numpy as np
 
+    # CPU-pinned probing — see the tune_cell_block_spec note
+    _cpu = jax.devices("cpu")[0]
+    pos = jax.device_put(np.asarray(jax.device_get(jnp.asarray(pos))),
+                         _cpu)
+    box_diag = jax.device_put(
+        np.asarray(jax.device_get(jnp.asarray(box_diag))), _cpu)
     bd = np.asarray(jax.device_get(jnp.asarray(box_diag)), np.float64)
     wx, wy = bd[0] / spec.nx, bd[1] / spec.ny
     s = max(int(np.ceil(cutoff / wx)), int(np.ceil(cutoff / wy)), 1)
