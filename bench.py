@@ -50,6 +50,12 @@ def main():
 
     enable_persistent_cache()
 
+    # bf16_3x matmuls (~1e-6 relative): parity with the A100 anchor's
+    # TF32 torch defaults; the reference-parity 1e-4 bar holds with two
+    # orders of margin.  BENCH_MATMUL=highest restores f32-exact.
+    from torchmdnet_tpu.ops.config import set_matmul_precision
+    set_matmul_precision(os.environ.get("BENCH_MATMUL", "high"))
+
     from torchmdnet_tpu.models.model import create_model
 
     args = dict(

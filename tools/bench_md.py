@@ -27,9 +27,13 @@ import jax, jax.numpy as jnp
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from torchmdnet_tpu.models.model import create_model
 from torchmdnet_tpu.md.integrators import make_md_step
+from torchmdnet_tpu.ops.config import set_matmul_precision
 from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
 
 enable_persistent_cache()
+# TF32-parity matmuls (see bench.py note); MD_MATMUL=highest restores
+# f32-exact
+set_matmul_precision(os.environ.get("MD_MATMUL", "high"))
 
 N = int(os.environ.get("MD_N", 25088))
 TAB = int(os.environ.get("MD_TAB", 128))
@@ -123,7 +127,7 @@ if BLOCKED:
     # Defaults = the measured 25k winner (2026-08-20): ungrouped cap=16
     # fast tier, 904.7 ms/step vs 1195.6 gather; grouped OOMs at 25k.
     cell_block_spec = tune_cell_block_spec(
-        jnp.asarray(pos), jnp.asarray(np.diag(box)), 4.5 + 1.0,
+        pos, np.diag(box), 4.5 + 1.0,
         cap=int(os.environ.get("MD_CAP", 16)),
         precise=os.environ.get("MD_PRECISE", "0") == "1",
         column_slots=os.environ.get("MD_GROUPED", "0") == "1")

@@ -62,6 +62,7 @@ class MDState(NamedTuple):
     # window runs + slot mask over the SAME sort, refreshed per rebuild
     # (replaces cnbr_idx/cnbr_mask when active)
     cwin_rs: jnp.ndarray = None    # [n_blocks, 1, NR] int32 (//8)
+    cwin_used: jnp.ndarray = None  # [n_blocks, 1, NSC] int32
     cwin_mask: jnp.ndarray = None  # [n_blocks, 1, W] f32
 
 
@@ -183,11 +184,13 @@ def make_md_step(
             tune_stencil_window_spec,
         )
 
-        _bx0 = jnp.asarray(box)
+        import numpy as _np
+
+        _bx0 = _np.asarray(jax.device_get(box))
         if _bx0.ndim == 3:
             _bx0 = _bx0[0]
         _cw["wspec"] = tune_stencil_window_spec(
-            jnp.asarray(pos), jnp.diag(_bx0), cell_block_spec,
+            jax.device_get(pos), _np.diag(_bx0), cell_block_spec,
             float(coulomb_rc) + skin,
             slack_runs=2 if force else 1)
 
@@ -306,7 +309,7 @@ def make_md_step(
                 )
 
                 cwb = CoulombWindows(
-                    st.cwin_rs, st.cwin_mask,
+                    st.cwin_rs, st.cwin_used, st.cwin_mask,
                     st.mask_rows.astype(jnp.float32),
                     bd.reshape(1, 3).astype(jnp.float32),
                     jnp.array(False),
@@ -422,6 +425,7 @@ def make_md_step(
                     swin, _cw["wspec"], am_s, bd, spec=cell_block_spec)
                 state = state._replace(
                     cwin_rs=cw.run_starts8,
+                    cwin_used=cw.nr_used,
                     cwin_mask=cw.slot_mask,
                     blk_overflow=state.blk_overflow | cw.overflow,
                 )

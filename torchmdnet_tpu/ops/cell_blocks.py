@@ -236,10 +236,11 @@ def tune_cell_block_spec(
     import numpy as _np
 
     _cpu = jax.devices("cpu")[0]
-    pos = jax.device_put(_np.asarray(jax.device_get(jnp.asarray(pos))),
-                         _cpu)
+    # device_get is a no-op on host arrays — never bounce through the
+    # accelerator here (a wedged transfer tunnel must not stall setup)
+    pos = jax.device_put(_np.asarray(jax.device_get(pos)), _cpu)
     box_diag = jax.device_put(
-        _np.asarray(jax.device_get(jnp.asarray(box_diag))), _cpu)
+        _np.asarray(jax.device_get(box_diag)), _cpu)
     for headroom in (2.5, 4.0, 6.0, 9.0, 14.0):
         probe = make_cell_block_spec(
             box_diag, cutoff, n_atoms, cap=cap, rlh=rlh, zf_width=zf_width,
@@ -320,11 +321,10 @@ def tune_stencil_window_spec(
 
     # CPU-pinned probing — see the tune_cell_block_spec note
     _cpu = jax.devices("cpu")[0]
-    pos = jax.device_put(np.asarray(jax.device_get(jnp.asarray(pos))),
-                         _cpu)
+    pos = jax.device_put(np.asarray(jax.device_get(pos)), _cpu)
     box_diag = jax.device_put(
-        np.asarray(jax.device_get(jnp.asarray(box_diag))), _cpu)
-    bd = np.asarray(jax.device_get(jnp.asarray(box_diag)), np.float64)
+        np.asarray(jax.device_get(box_diag)), _cpu)
+    bd = np.asarray(jax.device_get(box_diag), np.float64)
     wx, wy = bd[0] / spec.nx, bd[1] / spec.ny
     s = max(int(np.ceil(cutoff / wx)), int(np.ceil(cutoff / wy)), 1)
     if 2 * s + 1 > min(spec.nx, spec.ny):

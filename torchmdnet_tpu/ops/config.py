@@ -9,6 +9,8 @@ the framework (Linear layers, pair linears, the Pallas edge MLP):
 * ``"default"`` — single-pass bf16 (fastest, for bf16-tolerant serving).
 """
 
+import os
+
 import jax
 
 _PRECISIONS = {
@@ -17,7 +19,9 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
 }
 
-_current = "highest"
+_current = os.environ.get("TMDNET_MATMUL", "highest")
+if _current not in _PRECISIONS:  # pragma: no cover - env typo guard
+    _current = "highest"
 
 
 def set_matmul_precision(name: str):

@@ -64,6 +64,7 @@ class CoulombWindows(NamedTuple):
     built by :func:`make_coulomb_windows` from a ``StencilWindows`` plan)."""
 
     run_starts8: jnp.ndarray  # [n_blocks, 1, NR] int32, units of 8 rows
+    nr_used: jnp.ndarray      # [n_blocks, 1, NSC] int32 — live runs/column
     slot_mask: jnp.ndarray    # [n_blocks, 1, W] f32 — piece-bounds ∧ real
     row_valid: jnp.ndarray    # [n_pad] f32 — real-atom mask of block rows
     box_diag: jnp.ndarray     # [1, 3] f32
@@ -110,6 +111,8 @@ def make_coulomb_windows(win: StencilWindows, wspec: StencilWindowSpec,
     n_blocks = rs.shape[0]
     return CoulombWindows(
         run_starts8=(rs // 8).reshape(n_blocks, 1, wspec.nr),
+        nr_used=(win.nr1 + win.nr2).astype(jnp.int32)
+        .reshape(n_blocks, 1, wspec.nsc),
         slot_mask=window_slot_mask(win, wspec, mask_rows, n_pad)
         .reshape(n_blocks, 1, wspec.window),
         row_valid=mask_rows.astype(jnp.float32),
@@ -144,21 +147,46 @@ def _g_and_gp(d, rc: float, eps: float, factor: float, need_gp: bool):
     return g, gp
 
 
-def _dma_runs(nr: int, rlh: int, rs_ref, src_hbm, win, sems):
-    """Window fetch: NR runs of RLH rows, HBM → VMEM (8-row-floored
-    starts; the ·8 is Mosaic's divisibility proof for tiled HBM slicing)."""
-    copies = []
-    for r in range(nr):
+def _dma_runs(wspec: StencilWindowSpec, rs_ref, used_ref, src_hbm, win,
+              sems):
+    """Window fetch: HBM → VMEM, 8-row-floored starts (the ·8 is
+    Mosaic's divisibility proof for tiled HBM slicing).  Runs beyond a
+    column's live count are SKIPPED — at the 25k config the static run
+    budget is ~1.9× the mean live count (max-over-blocks sizing), so the
+    skip halves both DMA traffic and issue latency.  Skipped slots hold
+    stale (finite) VMEM from earlier blocks — masked by the slot mask;
+    the one-time zero fill at block 0 keeps uninitialized-NaN out of the
+    0·NaN-poisonable matmuls."""
+    nsc, rpc, rlh = wspec.nsc, wspec.rpc, wspec.rlh
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        win[:] = jnp.zeros_like(win)
+
+    def _cp(r):
         start = rs_ref[0, 0, r] * 8
-        cp = pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             src_hbm.at[pl.ds(start, rlh), :],
             win.at[pl.ds(r * rlh, rlh), :],
             sems.at[r],
         )
-        cp.start()
-        copies.append(cp)
-    for cp in copies:
-        cp.wait()
+
+    for s_ in range(nsc):
+        used = used_ref[0, 0, s_]
+        for j in range(rpc):
+            r = s_ * rpc + j
+
+            @pl.when(j < used)
+            def _(r=r):
+                _cp(r).start()
+    for s_ in range(nsc):
+        used = used_ref[0, 0, s_]
+        for j in range(rpc):
+            r = s_ * rpc + j
+
+            @pl.when(j < used)
+            def _(r=r):
+                _cp(r).wait()
 
 
 def _sel(ncols: int, c: int):
@@ -231,8 +259,9 @@ def _pair_geometry(spec, wspec, ncols, rc, rows, w, wm, box_ref):
 def _wc_fwd_kernel(spec: CellBlockSpec, wspec: StencilWindowSpec,
                    ncols: int, c: int, rc: float, eps: float,
                    factor: float, *refs):
-    (rs_ref, box_ref, rows_ref, wm_ref, src_hbm, phi_ref, win, sems) = refs
-    _dma_runs(wspec.nr, wspec.rlh, rs_ref, src_hbm, win, sems)
+    (rs_ref, used_ref, box_ref, rows_ref, wm_ref, src_hbm, phi_ref,
+     win, sems) = refs
+    _dma_runs(wspec, rs_ref, used_ref, src_hbm, win, sems)
     w = win[:]                                         # [W, ncols] f32
     rows = rows_ref[0]                                 # [cap, ncols]
     valid, safe_d, _ = _pair_geometry(
@@ -246,10 +275,10 @@ def _wc_fwd_kernel(spec: CellBlockSpec, wspec: StencilWindowSpec,
 def _wc_bwd_kernel(spec: CellBlockSpec, wspec: StencilWindowSpec,
                    ncols: int, c: int, rc: float, eps: float,
                    factor: float, *refs):
-    (rs_ref, box_ref, rows_ref, wm_ref, qw_ref, src_hbm,
+    (rs_ref, used_ref, box_ref, rows_ref, wm_ref, qw_ref, src_hbm,
      dpos_ref, s2_ref, win, sems) = refs
     cap, wlen = spec.cap, wspec.window
-    _dma_runs(wspec.nr, wspec.rlh, rs_ref, src_hbm, win, sems)
+    _dma_runs(wspec, rs_ref, used_ref, src_hbm, win, sems)
     w = win[:]                                         # [W, ncols] f32
     rows = rows_ref[0]                                 # [cap, ncols]
     valid, safe_d, deltas = _pair_geometry(
@@ -304,6 +333,8 @@ def _common_specs(spec, wspec, ncols, cwin):
     in_specs = [
         pl.BlockSpec((1, 1, nr), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, wspec.nsc), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, spec.cap, ncols), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -341,7 +372,8 @@ def _make_wc_fwd(spec: CellBlockSpec, wspec: StencilWindowSpec, c: int,
             out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c), jnp.float32),
             compiler_params=_vmem_params(),
             interpret=interpret,
-        )(cwin.run_starts8, cwin.box_diag, rows, cwin.slot_mask, src)
+        )(cwin.run_starts8, cwin.nr_used, cwin.box_diag, rows,
+          cwin.slot_mask, src)
         return phi.reshape(spec.n_pad, c)
 
     return run
@@ -382,8 +414,8 @@ def _make_wc_bwd(spec: CellBlockSpec, wspec: StencilWindowSpec, c: int,
             ],
             compiler_params=_vmem_params(),
             interpret=interpret,
-        )(cwin.run_starts8, cwin.box_diag, rows, cwin.slot_mask,
-          qw.reshape(1, c), src)
+        )(cwin.run_starts8, cwin.nr_used, cwin.box_diag, rows,
+          cwin.slot_mask, qw.reshape(1, c), src)
         return dpos.reshape(spec.n_pad, 3), s2.reshape(spec.n_pad, c)
 
     return run
