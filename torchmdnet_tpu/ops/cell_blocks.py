@@ -241,6 +241,17 @@ def tune_cell_block_spec(
     pos = jax.device_put(_np.asarray(jax.device_get(pos)), _cpu)
     box_diag = jax.device_put(
         _np.asarray(jax.device_get(box_diag)), _cpu)
+    with jax.default_device(_cpu):
+        return _tune_cell_block_spec_cpu(
+            pos, box_diag, cutoff, cap=cap, rlh=rlh, zf_width=zf_width,
+            slack_runs=slack_runs, precise=precise,
+            column_slots=column_slots, slot_slack=slot_slack)
+
+
+def _tune_cell_block_spec_cpu(pos, box_diag, cutoff, *, cap, rlh, zf_width,
+                              slack_runs, precise, column_slots,
+                              slot_slack):
+    n_atoms = pos.shape[0]
     for headroom in (2.5, 4.0, 6.0, 9.0, 14.0):
         probe = make_cell_block_spec(
             box_diag, cutoff, n_atoms, cap=cap, rlh=rlh, zf_width=zf_width,
@@ -324,6 +335,15 @@ def tune_stencil_window_spec(
     pos = jax.device_put(np.asarray(jax.device_get(pos)), _cpu)
     box_diag = jax.device_put(
         np.asarray(jax.device_get(box_diag)), _cpu)
+    with jax.default_device(_cpu):
+        return _tune_stencil_window_spec_cpu(
+            pos, box_diag, spec, cutoff, rlh=rlh, slack_runs=slack_runs)
+
+
+def _tune_stencil_window_spec_cpu(pos, box_diag, spec, cutoff, *, rlh,
+                                  slack_runs):
+    import numpy as np
+
     bd = np.asarray(jax.device_get(box_diag), np.float64)
     wx, wy = bd[0] / spec.nx, bd[1] / spec.ny
     s = max(int(np.ceil(cutoff / wx)), int(np.ceil(cutoff / wy)), 1)
