@@ -368,9 +368,19 @@ def test_blocked_q_tier_matches_packed_asym():
     spec = spec._replace(precise=True)
     n_pad, k = rel.shape
     rng = np.random.RandomState(11)
+    # The asym-q op's CONTRACT requires direction-symmetric edge_attr and
+    # cwfm (both are functions of the pair distance in the model: rbf(d)
+    # and C(d)·mask) — its du_j comes from a mirrored in-kernel pass.
+    # Symmetrize the random test arrays over the edge involution.
+    from torchmdnet_tpu.ops.message_passing import gather_rev as _grev
+
     edge_attr = jnp.asarray(rng.randn(n_pad, k, r).astype(np.float32))
+    edge_attr = 0.5 * (edge_attr + _grev(edge_attr, nbr.idx, nbr.rev_slot,
+                                         nbr.mask))
     cwfm = jnp.asarray(
         (rng.rand(n_pad, k) * np.asarray(nbr.mask)).astype(np.float32))
+    cwfm = 0.5 * (cwfm + _grev(cwfm[..., None], nbr.idx, nbr.rev_slot,
+                               nbr.mask)[..., 0])
     u_i = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
     u_j = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
     w1a = jnp.asarray(rng.randn(r, f).astype(np.float32) / np.sqrt(r))
@@ -433,9 +443,17 @@ def test_blocked_q_tier_grouped_matches_packed_asym():
     spec, blocks, nbr, rel, _, feats = _grouped_setup(f=f, precise=True)
     n_pad, k = rel.shape
     rng = np.random.RandomState(13)
+    # direction-symmetric edge arrays — the asym-q op's contract (see the
+    # ungrouped test note)
+    from torchmdnet_tpu.ops.message_passing import gather_rev as _grev
+
     edge_attr = jnp.asarray(rng.randn(n_pad, k, r).astype(np.float32))
+    edge_attr = 0.5 * (edge_attr + _grev(edge_attr, nbr.idx, nbr.rev_slot,
+                                         nbr.mask))
     cwfm = jnp.asarray(
         (rng.rand(n_pad, k) * np.asarray(nbr.mask)).astype(np.float32))
+    cwfm = 0.5 * (cwfm + _grev(cwfm[..., None], nbr.idx, nbr.rev_slot,
+                               nbr.mask)[..., 0])
     u_i = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
     u_j = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
     w1a = jnp.asarray(rng.randn(r, f).astype(np.float32) / np.sqrt(r))

@@ -1246,18 +1246,48 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
         off += ks
 
 
-def _dq_kernel(spec: CellBlockSpec, f: int, r: int, *refs):
-    """Fused charge-fold backward (transposed): emits dpre1ᵀ [F, BK],
-    the rbf cotangent [R, BK] and the (C·mask) cotangent [1, BK]."""
+def _du_fold(dpre_t, rep_t):
+    """[F, E] · [cap, E]ᵀ → [F, cap] per-row sum of dpre, hi/lo-split so
+    the f32 dpre survives the bf16 MXU pass exactly (rep is 0/1)."""
+    hi = dpre_t.astype(jnp.bfloat16)
+    lo = (dpre_t - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part_in in (hi, lo):
+        part = jax.lax.dot_general(
+            part_in, rep_t, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    return out
+
+
+def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, *refs):
+    """Fused charge-fold backward (transposed).  ``emit``:
+
+    * ``"edge_du"`` — rbf cotangent [R, BK], (C·mask) cotangent [1, BK],
+      and the per-ROW dpre1 sum du [F, cap] (the charge-term gradient,
+      folded in-kernel so the [N, K, F] dpre tensor never exists in HBM —
+      it was ~1.3 GB at the 25k config, ~4.4 GB grouped, plus a transpose
+      and a gather_rev of the same size).
+    * ``"du"`` — du alone: called a second time with mirrored operands
+      (urow=u_j, window u=u_i, g↔feats9) to produce du_j — valid because
+      pre1(i,k) == pre1_rev(m,k') and the cotangent fold is the same
+      product read from the mirror row (see _make_blocked_q_op).
+    """
+    want_edge = emit == "edge_du"
+    n_out = (3 if want_edge else 1)
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
          w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
-         dpre_out, dat_out, dcw_out, win, hi, lo, ot, sems) = refs
+         *outs, win, hi, lo, ot, sems) = refs
     else:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
          w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
-         dpre_out, dat_out, dcw_out, win, hi, ot, sems) = refs
+         *outs, win, hi, ot, sems) = refs
         lo = None
+    if want_edge:
+        dat_out, dcw_out, du_out = outs
+    else:
+        du_out, = outs
     cap = spec.cap
     w = spec.window
     bk = rel_ref.shape[-1]
@@ -1303,7 +1333,8 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, *refs):
         ch[widx] = prod_t if ch[widx] is None else ch[widx] + prod_t
     fold_t = jnp.concatenate(ch, axis=0)                 # [3F, BK] = dL/d(A·cw) per A-channel, ×cw missing
     cw = cw_ref[0]                                       # [1, BK]
-    dcw_out[0] = jnp.sum(fold_t * h3_t, axis=0, keepdims=True)
+    if want_edge:
+        dcw_out[0] = jnp.sum(fold_t * h3_t, axis=0, keepdims=True)
     da_t = fold_t * cw                                   # dL/dA
 
     # --- MLP tail backward, transposed ---
@@ -1316,25 +1347,37 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, *refs):
         w2_ref[:], dz2_t, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     dpre_t = dh1_t * _dsilu(pre1_t)
-    dpre_out[0] = dpre_t
-    dat_out[0] = jax.lax.dot_general(                    # [R, BK]
-        w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    # per-row segment sum on the MXU (0/1 row matrix is exact in bf16;
+    # hi/lo split keeps dpre f32-faithful) — this IS du for this pass
+    du_out[0] = _du_fold(dpre_t, rep_t)
+    if want_edge:
+        dat_out[0] = jax.lax.dot_general(                # [R, BK]
+            w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
 
 
-def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
+def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
+                       *refs):
     """Column-grouped fused charge-fold backward: per-column transposed
     recompute + cotangent fold (edges on lanes; per-column output slices
-    are lane-aligned by the col_slots 128-quantization)."""
+    are lane-aligned by the col_slots 128-quantization).  ``emit`` as in
+    :func:`_dq_kernel`; the in-kernel du fold is what makes the grouped
+    tier HBM-feasible at 25k (K′≈3.3·K made the [N, K′, F] dpre/gather
+    tensors ~4.4 GB each — the round-3 OOM)."""
+    want_edge = emit == "edge_du"
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
          w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
-         dpre_out, dat_out, dcw_out, win, hi, lo, cwb3_s, sems) = refs
+         *outs, win, hi, lo, cwb3_s, sems) = refs
     else:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
          w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
-         dpre_out, dat_out, dcw_out, win, hi, cwb3_s, sems) = refs
+         *outs, win, hi, cwb3_s, sems) = refs
         lo = None
+    if want_edge:
+        dat_out, dcw_out, du_out = outs
+    else:
+        du_out, = outs
     cap = spec.cap
     wc = spec.rpc * spec.rlh
     prec = _q_prec(spec)
@@ -1354,6 +1397,7 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
     cwb3_s[:] = jnp.broadcast_to(cw, (3 * f, bk))
     cwb3 = cwb3_s[:]
     off = 0
+    first_col = True
     for s, ks in enumerate(spec.col_slots):
         if ks == 0:
             continue
@@ -1403,8 +1447,9 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
             prod_t = g_et * xj_dt
             ch[widx] = prod_t if ch[widx] is None else ch[widx] + prod_t
         fold_t = jnp.concatenate(ch, axis=0)             # [3F, bks]
-        dcw_out[0, :, sl0:sl1] = jnp.sum(fold_t * h3_t, axis=0,
-                                         keepdims=True)
+        if want_edge:
+            dcw_out[0, :, sl0:sl1] = jnp.sum(fold_t * h3_t, axis=0,
+                                             keepdims=True)
         da_t = fold_t * cwb3[:, sl0:sl1]
 
         # --- MLP tail backward, transposed ---
@@ -1417,10 +1462,16 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
             w2_ref[:], dz2_t, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         dpre_t = dh1_t * _dsilu(pre1_t)
-        dpre_out[0, :, sl0:sl1] = dpre_t
-        dat_out[0, :, sl0:sl1] = jax.lax.dot_general(    # [R, bks]
-            w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        du_c = _du_fold(dpre_t, rep_t)                   # [F, cap]
+        if first_col:
+            du_out[0] = du_c
+            first_col = False
+        else:
+            du_out[0] += du_c
+        if want_edge:
+            dat_out[0, :, sl0:sl1] = jax.lax.dot_general(  # [R, bks]
+                w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
         off += ks
 
 
@@ -1524,10 +1575,12 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
 
 def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
                w1a, w2, b2, w3, b3, *, spec: CellBlockSpec,
-               interpret: bool = False):
+               interpret: bool = False, emit: str = "edge_du"):
     """Raw fused charge-fold backward: recomputes the edge chain in
-    transposed form and returns (dpre1 [n_pad, K, F], dattr_rbf
-    [n_pad, K, R], dcw [n_pad, K])."""
+    transposed form.  ``emit="edge_du"`` returns (du [n_pad, F],
+    dattr_rbf [n_pad, K, R], dcw [n_pad, K]); ``emit="du"`` returns du
+    alone (the mirrored du_j pass).  The per-edge dpre1 tensor is folded
+    to du IN-KERNEL and never reaches HBM."""
     n_pad, k, r = edge_attr.shape
     f = w1a.shape[1]
     c9 = 9 * f
@@ -1535,11 +1588,12 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
     n_blocks = spec.n_blocks
     bk = cap * k
     grouped = spec.col_slots is not None
+    want_edge = emit == "edge_du"
     if grouped:
         assert k == sum(spec.col_slots), (k, spec.col_slots)
-        kernel = functools.partial(_dq_kernel_grouped, spec, f, r)
+        kernel = functools.partial(_dq_kernel_grouped, spec, f, r, emit)
     else:
-        kernel = functools.partial(_dq_kernel, spec, f, r)
+        kernel = functools.partial(_dq_kernel, spec, f, r, emit)
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1571,28 +1625,36 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=0,
-        grid=(n_blocks,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((1, f, bk), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+    if want_edge:
+        out_specs = [
             pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        scratch_shapes=scratch,
-    )
-    dpre_t, dat_t, dcw = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_blocks, f, bk), jnp.float32),
+            pl.BlockSpec((1, f, cap), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
             jax.ShapeDtypeStruct((n_blocks, r, bk), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 1, bk), jnp.float32),
-        ],
+            jax.ShapeDtypeStruct((n_blocks, f, cap), jnp.float32),
+        ]
+    else:
+        out_specs = [pl.BlockSpec((1, f, cap), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((n_blocks, f, cap),
+                                          jnp.float32)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
     )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
@@ -1605,19 +1667,22 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
       b2.astype(jnp.float32).reshape(-1, 1),
       w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(-1, 1),
       window_src.astype(jnp.float32))
+    if want_edge:
+        dat_t, dcw, du_t = outs
+    else:
+        du_t, = outs
+    du = du_t.transpose(0, 2, 1).reshape(n_pad, f)
+    if not want_edge:
+        return du
     if grouped:  # column-major edge order: e = slot·cap + row
-        dpre = (dpre_t.reshape(n_blocks, f, k, cap).transpose(0, 3, 2, 1)
-                      .reshape(n_pad, k, f))
         dat = (dat_t.reshape(n_blocks, r, k, cap).transpose(0, 3, 2, 1)
                     .reshape(n_pad, k, r))
         dcw_r = (dcw.reshape(n_blocks, k, cap).transpose(0, 2, 1)
                     .reshape(n_pad, k))
-        return dpre, dat, dcw_r
-    dpre = (dpre_t.reshape(n_blocks, f, cap, k).transpose(0, 2, 3, 1)
-                  .reshape(n_pad, k, f))
+        return du, dat, dcw_r
     dat = (dat_t.reshape(n_blocks, r, cap, k).transpose(0, 2, 3, 1)
                 .reshape(n_pad, k, r))
-    return dpre, dat, dcw.reshape(n_pad, k)
+    return du, dat, dcw.reshape(n_pad, k)
 
 
 @functools.lru_cache(maxsize=None)
@@ -1658,12 +1723,20 @@ def _make_blocked_q_op(spec: CellBlockSpec, interpret: bool):
         dfeats = blocked_neighbor_sum_q(
             edge_attr, cwfm, u_j, window_rev, rel, run_starts,
             w1a, w2, b2, w3, b3, spec=spec, interpret=interpret)
-        dpre, dat, dcw = blocked_dq(
+        # du_i + per-edge rbf/cw cotangents; dpre is folded to du
+        # IN-KERNEL (no [N, K, F] tensor, no transpose, no gather_rev)
+        du_i, dat, dcw = blocked_dq(
             edge_attr, cwfm, u_i, jnp.concatenate([feats9, u_j], axis=-1),
             g, rel, run_starts, w1a, w2, b2, w3, b3,
-            spec=spec, interpret=interpret)
-        du_i = jnp.sum(dpre, axis=1)
-        du_j = jnp.sum(gather_rev(dpre, idx, rev_slot, mask), axis=1)
+            spec=spec, interpret=interpret, emit="edge_du")
+        # du_j from the MIRRORED dq pass: pre1(i,k) == pre1_rev(m,k′) and
+        # the cotangent fold is symmetric under (g ↔ feats9, u_i ↔ u_j),
+        # so the mirror row's per-row dpre sum IS du_j — the edge lists
+        # hold both directions of every pair (mutual window coverage).
+        du_j = blocked_dq(
+            edge_attr, cwfm, u_j, window_rev,
+            feats9, rel, run_starts, w1a, w2, b2, w3, b3,
+            spec=spec, interpret=interpret, emit="du")
         return (dat, dcw, du_i, du_j, dfeats, None, None, None, None,
                 None, jnp.zeros_like(w1a), jnp.zeros_like(w2),
                 jnp.zeros_like(b2), jnp.zeros_like(w3),
@@ -1682,6 +1755,15 @@ def blocked_neighbor_sum_asym_q(edge_attr, cwfm, u_i, u_j, feats9, mask,
     u_i[i] + u_j[j])·cwfm, <swapped>, feats9, ...)`` with no [N, K, 3F]
     materialization.  First-order VJP (MD force path); the MLP weights
     get zero gradients — force training uses the packed XLA path.
+
+    CONTRACT: ``edge_attr`` and ``cwfm`` must be direction-symmetric
+    (equal on the two slots of every pair) — true by construction in the
+    model (both are functions of the pair distance: rbf(d), C(d)·mask).
+    The backward's du_j is computed by a MIRRORED in-kernel pass that
+    reads the pair's shared edge values from the reverse row; an
+    asymmetric mask (K-overflow truncation of one direction) makes du_j
+    drop that pair's term — acceptable, since overflow already flags the
+    step as invalid.
     Reference bar: the Warp gather MP
     ``torchmdnet/extensions/warp_kernels/tensornet_mp.py:42-131``."""
     return _make_blocked_q_op(spec, interpret)(
