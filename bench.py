@@ -32,7 +32,10 @@ def build_system(n_atoms, n_pad, density=0.1, seed=0):
     """Liquid-density periodic system (water-like 0.1 atoms/Å³)."""
     rng = np.random.RandomState(seed)
     L = (n_atoms / density) ** (1.0 / 3.0)
-    pos = np.zeros((n_pad, 3), np.float32)
+    # padding rows are masked out of every list/window, but they DO ride
+    # the cell-block sort — spread them through the box (a co-located
+    # ghost pile at the origin overflows that cell's capacity/window)
+    pos = rng.uniform(0, L, (n_pad, 3)).astype(np.float32)
     pos[:n_atoms] = rng.uniform(0, L, (n_atoms, 3))
     z = np.zeros(n_pad, np.int32)
     z[:n_atoms] = rng.choice([1, 1, 6, 7, 8], n_atoms)

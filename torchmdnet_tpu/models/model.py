@@ -135,11 +135,13 @@ class Potential:
         )
 
     def apply(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
-              s=None, extra_args=None, nbr=None, coulomb_nbr=None):
+              s=None, extra_args=None, nbr=None, coulomb_nbr=None,
+              blocked=None, coulomb_win=None):
         if not self.derivative:
             y = self.energy(
                 variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
                 s=s, extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
+                blocked=blocked, coulomb_win=coulomb_win,
             )
             return y, None
 
@@ -147,6 +149,7 @@ class Potential:
             y = self.energy(
                 variables, z, p, batch, num_mols=num_mols, box=box, q=q, s=s,
                 extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
+                blocked=blocked, coulomb_win=coulomb_win,
             )
             return jnp.sum(y), y
 

@@ -1075,16 +1075,27 @@ def _plane_dot_cols(ots, wins, c0, c1, transposed=False):
     return out
 
 
-def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, *refs):
-    """Fused charge-fold forward (ungrouped, row-major chain)."""
+def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
+                 *refs):
+    """Fused charge-fold forward (ungrouped, row-major chain).
+
+    ``with_du``: additionally backprop the chain against a per-row
+    cotangent block ``gr_ref`` [cap, 9F] and emit du [cap, F] — used by
+    the asym backward's dfeats pass, where this kernel already evaluates
+    the MIRROR chain (pre1_rev) and gathers the g windows, so du_j costs
+    only the fold products and a small tail-transpose (the alternative —
+    a second dq pass — re-pays the window gathers, measured +70 ms/step
+    at 25k 2026-08-20)."""
+    refs = list(refs)
+    gr_ref = refs.pop(5) if with_du else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
          b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
-         win, hi, lo, ot, ot2, sems) = refs
+         *du_out, win, hi, lo, ot, ot2, sems) = refs
     else:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
          b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
-         win, hi, ot, sems) = refs
+         *du_out, win, hi, ot, sems) = refs
         lo = ot2 = None
     cap = spec.cap
     w = spec.window
@@ -1112,13 +1123,15 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, *refs):
         at_ref[0], w1a_ref[:], (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec)
     pre1 = base + u_g + u_e
-    h = jax.nn.silu(pre1)
-    h = jax.nn.silu(jax.lax.dot_general(
-        h, w2_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec) + b2_ref[:])
-    h3 = jax.nn.silu(jax.lax.dot_general(
-        h, w3_ref[:], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec) + b3_ref[:])
+    h1 = jax.nn.silu(pre1)
+    z2 = jax.lax.dot_general(
+        h1, w2_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec) + b2_ref[:]
+    h2 = jax.nn.silu(z2)
+    z3 = jax.lax.dot_general(
+        h2, w3_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec) + b3_ref[:]
+    h3 = jax.nn.silu(z3)
 
     # cutoff·mask folds into the gather one-hot: attr·cw ⊙ xj ≡ h3 ⊙ cw·xj
     cw = cw_ref[0]                                      # [1, BK] f32
@@ -1129,6 +1142,7 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, *refs):
         ot2[:] = oh.astype(jnp.bfloat16) * (
             cw - cw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         ots.append(ot2[:])
+    fold = None
     for d in range(9):
         widx = 0 if d == 0 else (1 if d < 4 else 2)
         xj_d = _plane_dot_cols(ots, [p[:] for p in wins],
@@ -1136,23 +1150,48 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, *refs):
         prod = xj_d * h3[:, widx * f:(widx + 1) * f]
         out_ref[0, :, d * f:(d + 1) * f] = jnp.sum(
             prod.reshape(cap, k, f), axis=1)
+        if with_du:
+            # the cw-folded gather IS fold·cw (the mirror-chain cotangent
+            # scaling) — accumulate per A-channel block
+            g_e = _rep_dot(rep, gr_ref[0][:, d * f:(d + 1) * f],
+                           spec.precise)
+            part = g_e * xj_d
+            if fold is None:
+                fold = [None, None, None]
+            fold[widx] = part if fold[widx] is None else fold[widx] + part
+    if with_du:
+        da = jnp.concatenate(fold, axis=1)               # [BK, 3F]
+        dz3 = da * _dsilu(z3)
+        dh2 = jax.lax.dot_general(
+            dz3, w3_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dz2 = dh2 * _dsilu(z2)
+        dh1 = jax.lax.dot_general(
+            dz2, w2_ref[:], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dpre = dh1 * _dsilu(pre1)                        # [BK, F]
+        du_out[0][0] = _du_fold_rows(dpre, rep)
 
 
-def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
+def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int,
+                         with_du: bool, *refs):
     """Column-grouped fused charge-fold forward: the per-edge MLP chain and
     the window gathers run one stencil column at a time, so each column's
     one-hot contracts only its own ``wc = rpc·rlh`` window rows — gather
     FLOPs ∝ W/9 (the _mp_kernel_grouped_cheb discipline applied to the
     TensorNet2 charge-fold tier).  Edge arrays are COLUMN-MAJOR
-    (e = slot·cap + row, lane-aligned group boundaries)."""
+    (e = slot·cap + row, lane-aligned group boundaries).  ``with_du``
+    as in :func:`_mp_kernel_q` (du accumulated across columns)."""
+    refs = list(refs)
+    gr_ref = refs.pop(5) if with_du else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
          b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
-         win, hi, lo, cwb_hi_s, cwb_lo_s, sems) = refs
+         *du_out, win, hi, lo, cwb_hi_s, cwb_lo_s, sems) = refs
     else:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
          b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
-         win, hi, cwb_hi_s, sems) = refs
+         *du_out, win, hi, cwb_hi_s, sems) = refs
         lo = cwb_lo_s = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
@@ -1180,6 +1219,7 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
             (wc, bk))
         cwb_lo = cwb_lo_s[:]
     first = True
+    first_du = True
     off = 0
     for s, ks in enumerate(spec.col_slots):
         if ks == 0:
@@ -1210,19 +1250,22 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
             at[:, sl0:sl1], w1a_ref[:], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         pre1 = base + u_g + u_e
-        h = jax.nn.silu(pre1)
-        h = jax.nn.silu(jax.lax.dot_general(
-            h, w2_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) + b2_ref[:])
-        h3 = jax.nn.silu(jax.lax.dot_general(
-            h, w3_ref[:], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec) + b3_ref[:])
+        h1 = jax.nn.silu(pre1)
+        z2 = jax.lax.dot_general(
+            h1, w2_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) + b2_ref[:]
+        h2 = jax.nn.silu(z2)
+        z3 = jax.lax.dot_general(
+            h2, w3_ref[:], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec) + b3_ref[:]
+        h3 = jax.nn.silu(z3)
 
         # cutoff·mask folds into the gather one-hot (full-width broadcast
         # planes sliced per column — see the Mosaic layout note above)
         ots = [ot_s * cwb_hi[:, sl0:sl1]]
         if spec.precise:
             ots.append(ot_s * cwb_lo[:, sl0:sl1])
+        fold = [None, None, None]
         for d in range(9):
             widx = 0 if d == 0 else (1 if d < 4 else 2)
             xj_d = None
@@ -1242,8 +1285,45 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int, *refs):
                 out_ref[0, :, d * f:(d + 1) * f] = contrib
             else:
                 out_ref[0, :, d * f:(d + 1) * f] += contrib
+            if with_du:
+                g_e = _rep_dot(rep, gr_ref[0][:, d * f:(d + 1) * f],
+                               spec.precise)
+                part = g_e * xj_d
+                fold[widx] = part if fold[widx] is None \
+                    else fold[widx] + part
+        if with_du:
+            da = jnp.concatenate(fold, axis=1)           # [bks, 3F]
+            dz3 = da * _dsilu(z3)
+            dh2 = jax.lax.dot_general(
+                dz3, w3_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dz2 = dh2 * _dsilu(z2)
+            dh1 = jax.lax.dot_general(
+                dz2, w2_ref[:], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            dpre = dh1 * _dsilu(pre1)                    # [bks, F]
+            du_c = _du_fold_rows(dpre, rep)
+            if first_du:
+                du_out[0][0] = du_c
+                first_du = False
+            else:
+                du_out[0][0] += du_c
         first = False
         off += ks
+
+
+def _du_fold_rows(dpre, rep):
+    """[E, F] dpre · [E, cap] 0/1 rep → [cap, F] per-row sum, hi/lo-split
+    (row-major orientation of :func:`_du_fold`)."""
+    hi = dpre.astype(jnp.bfloat16)
+    lo = (dpre - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    out = None
+    for part_in in (hi, lo):
+        part = jax.lax.dot_general(
+            rep, part_in, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = part if out is None else out + part
+    return out
 
 
 def _du_fold(dpre_t, rep_t):
@@ -1491,10 +1571,16 @@ def _q_edge_t(x, spec: CellBlockSpec, k):
 
 def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
                            run_starts, w1a, w2, b2, w3, b3, *,
-                           spec: CellBlockSpec, interpret: bool = False):
+                           spec: CellBlockSpec, interpret: bool = False,
+                           du_rows=None):
     """Raw fused charge-fold forward.  ``window_src`` [n_pad, 10F] =
     [feats9 | gathered-node term]; ``urow_src`` [n_pad, F] enters each of
-    its row's edges.  Returns [n_pad, 9F] f32."""
+    its row's edges.  Returns [n_pad, 9F] f32.
+
+    ``du_rows`` [n_pad, 9F]: per-row chain-cotangent block — when given,
+    the kernel also backprops its edge chain against
+    ``du_rows[row] ⊙ (cw·window-gather)`` and returns ``(out, du)`` with
+    du [n_pad, F] (the dfeats+du_j fusion of the asym backward)."""
     n_pad, k, r = edge_attr.shape
     f = w1a.shape[1]
     c9 = 9 * f
@@ -1503,11 +1589,13 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
     bk = cap * k
     assert window_src.shape == (n_pad, c9 + f) and n_pad == spec.n_pad
     grouped = spec.col_slots is not None
+    with_du = du_rows is not None
     if grouped:
         assert k == sum(spec.col_slots), (k, spec.col_slots)
-        kernel = functools.partial(_mp_kernel_q_grouped, spec, f, r)
+        kernel = functools.partial(_mp_kernel_q_grouped, spec, f, r,
+                                   with_du)
     else:
-        kernel = functools.partial(_mp_kernel_q, spec, f, r)
+        kernel = functools.partial(_mp_kernel_q, spec, f, r, with_du)
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -1547,29 +1635,47 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
             scratch.insert(2, pltpu.VMEM((spec.window, c9 + f),
                                          jnp.bfloat16))
             scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
+    inputs = [
+        run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+        _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
+        _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
+        _cheb_edge_layout(rel, spec, k),
+        urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
+        w1a.astype(jnp.float32), w2.astype(jnp.float32),
+        b2.astype(jnp.float32).reshape(1, -1),
+        w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(1, -1),
+        window_src.astype(jnp.float32),
+    ]
+    out_specs = pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32)
+    if with_du:
+        in_specs.insert(5, pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
+                                        memory_space=pltpu.VMEM))
+        inputs.insert(5, du_rows.astype(jnp.float32)
+                      .reshape(n_blocks, cap, c9))
+        out_specs = [out_specs,
+                     pl.BlockSpec((1, cap, f), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((n_blocks, cap, f), jnp.float32)]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(n_blocks,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=out_specs,
         scratch_shapes=scratch,
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
+        out_shape=out_shape,
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
-      _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
-      _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
-      _cheb_edge_layout(rel, spec, k),
-      urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
-      w1a.astype(jnp.float32), w2.astype(jnp.float32),
-      b2.astype(jnp.float32).reshape(1, -1),
-      w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(1, -1),
-      window_src.astype(jnp.float32))
+    )(*inputs)
+    if with_du:
+        msg, du = out
+        return msg.reshape(n_pad, c9), du.reshape(n_pad, f)
     return out.reshape(n_pad, c9)
 
 
@@ -1719,24 +1825,22 @@ def _make_blocked_q_op(spec: CellBlockSpec, interpret: bool):
         # feature cotangent: the reverse-edge weights (u_i/u_j roles
         # swapped) applied to the output cotangent — one more fused
         # forward pass with g9 as the window features and u_i gathered.
+        # The SAME pass also yields du_j: it evaluates the mirror chain
+        # pre1_rev(m,k′) == pre1(i,k) and already holds the g-window
+        # gathers, so backpropping it against feats9[m] ⊙ cw·g9-gather
+        # (the mirror fold — symmetric under g ↔ feats9, u_i ↔ u_j)
+        # costs only the fold products and a small tail-transpose.
         window_rev = jnp.concatenate([g, u_i], axis=-1)
-        dfeats = blocked_neighbor_sum_q(
+        dfeats, du_j = blocked_neighbor_sum_q(
             edge_attr, cwfm, u_j, window_rev, rel, run_starts,
-            w1a, w2, b2, w3, b3, spec=spec, interpret=interpret)
+            w1a, w2, b2, w3, b3, spec=spec, interpret=interpret,
+            du_rows=feats9)
         # du_i + per-edge rbf/cw cotangents; dpre is folded to du
         # IN-KERNEL (no [N, K, F] tensor, no transpose, no gather_rev)
         du_i, dat, dcw = blocked_dq(
             edge_attr, cwfm, u_i, jnp.concatenate([feats9, u_j], axis=-1),
             g, rel, run_starts, w1a, w2, b2, w3, b3,
             spec=spec, interpret=interpret, emit="edge_du")
-        # du_j from the MIRRORED dq pass: pre1(i,k) == pre1_rev(m,k′) and
-        # the cotangent fold is symmetric under (g ↔ feats9, u_i ↔ u_j),
-        # so the mirror row's per-row dpre sum IS du_j — the edge lists
-        # hold both directions of every pair (mutual window coverage).
-        du_j = blocked_dq(
-            edge_attr, cwfm, u_j, window_rev,
-            feats9, rel, run_starts, w1a, w2, b2, w3, b3,
-            spec=spec, interpret=interpret, emit="du")
         return (dat, dcw, du_i, du_j, dfeats, None, None, None, None,
                 None, jnp.zeros_like(w1a), jnp.zeros_like(w2),
                 jnp.zeros_like(b2), jnp.zeros_like(w3),
