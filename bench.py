@@ -233,6 +233,13 @@ def bench_northstar():
     enable_persistent_cache()
     # chunk budget measured best at 25k (docs/PERF.md); read at trace time
     os.environ.setdefault("TMDNET_MP_BUDGET_MB", "512")
+    # Set the matmul precision HERE (not only in main()) so the metric is
+    # the same whether this runs standalone (--northstar-only) or after
+    # the dhfr chain.  Default "high" = bf16_3x, TF32-parity with the A100
+    # anchor's torch defaults; recorded in the JSON extra below.
+    from torchmdnet_tpu.ops.config import set_matmul_precision
+    matmul_prec = os.environ.get("BENCH_MATMUL", "high")
+    set_matmul_precision(matmul_prec)
 
     from torchmdnet_tpu.md.integrators import make_md_step
     from torchmdnet_tpu.models.model import create_model
@@ -302,10 +309,18 @@ def bench_northstar():
                                          box=bj, q=q)
     )(jax.random.PRNGKey(0), zj, pj, batch)
     jax.block_until_ready(variables)
+    # Windowed direct-pair Coulomb tier (ops/pallas_coulomb.py): the
+    # round-4 measured winner (904.7 -> 763.0 ms at 25k) — replaces the
+    # skin-cached ~770-slot Coulomb list and its rebuild with stencil
+    # windows over the SAME cell-block sort.  BENCH_MD_CWIN=0 restores
+    # the list path.
+    cwin = (cell_block_spec is not None
+            and os.environ.get("BENCH_MD_CWIN", "1") == "1")
     init_state, chunk, _ = make_md_step(
         pot, variables, zj, batch, masses, dt=0.05, num_mols=1, box=bj,
         q=q, rebuild_every=rebuild, skin=1.0, temperature=300.0,
-        neighbor_strategy="cell", cell_block_spec=cell_block_spec)
+        neighbor_strategy="cell", cell_block_spec=cell_block_spec,
+        coulomb_window_spec="auto" if cwin else None)
     state = init_state(pos, seed=1)
     state = chunk(state)
     jax.block_until_ready(state.pos)
@@ -326,6 +341,10 @@ def bench_northstar():
             "device": str(jax.devices()[0]),
             "steps_per_sec": round(1000.0 / ms, 2),
             "blocked": cell_block_spec is not None,
+            "cwin": cwin,
+            "matmul": matmul_prec,
+            "precise": os.environ.get("BENCH_MD_PRECISE", "0") == "1",
+            "grouped": os.environ.get("BENCH_MD_GROUPED", "0") == "1",
             "overflow": bool(state.overflow),
             "anchor_ms": round(anchor_ms, 1),
         },
@@ -411,7 +430,9 @@ def bench_train():
 
     state, _ = step(state, db)  # compile
     jax.block_until_ready(state.params)
-    iters = int(os.environ.get("BENCH_TRAIN_ITERS", 20))
+    # 200-iter chains measured ~1.81 ms/step vs 1.99 at 20 iters (host
+    # dispatch amortization); 100 keeps the run short but stable
+    iters = int(os.environ.get("BENCH_TRAIN_ITERS", 100))
     t0 = time.time()
     for _ in range(iters):
         state, metrics = step(state, db)
