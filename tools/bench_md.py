@@ -122,8 +122,8 @@ if BLOCKED:
 
     # tune for the skin-padded cutoff (the rebuild list is built at
     # cutoff+skin and every listed edge must be window-covered).
-    # MD_GROUPED=1 (default): column-partitioned slots — gather FLOPs
-    # ∝ W/9; MD_PRECISE=1: hi/lo bf16 split (production forces).
+    # MD_GROUPED=1: column-partitioned slots — gather FLOPs ∝ W/9
+    # (default 0); MD_PRECISE=1: hi/lo bf16 split (production forces).
     # Defaults = the measured 25k winner (2026-08-20): ungrouped cap=16
     # fast tier, 904.7 ms/step vs 1195.6 gather; grouped OOMs at 25k.
     cell_block_spec = tune_cell_block_spec(

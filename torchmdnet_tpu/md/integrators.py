@@ -64,6 +64,11 @@ class MDState(NamedTuple):
     cwin_rs: jnp.ndarray = None    # [n_blocks, 1, NR] int32 (//8)
     cwin_used: jnp.ndarray = None  # [n_blocks, 1, NSC] int32
     cwin_mask: jnp.ndarray = None  # [n_blocks, 1, W] f32
+    # Coulomb-window plan overflow of THIS rebuild (transient), tracked
+    # SEPARATELY from blk_overflow so the adaptive wrapper can retune
+    # only the stencil-window spec (no MP re-spec / model rebuild) when
+    # the Coulomb window is the sole overflow source (advisor, round 4).
+    cwin_overflow: jnp.ndarray = None
 
 
 def maxwell_boltzmann_velocities(key, masses, temperature, shape_like):
@@ -427,7 +432,7 @@ def make_md_step(
                     cwin_rs=cw.run_starts8,
                     cwin_used=cw.nr_used,
                     cwin_mask=cw.slot_mask,
-                    blk_overflow=state.blk_overflow | cw.overflow,
+                    cwin_overflow=cw.overflow,
                 )
             elif has_coulomb_list:
                 cnbr = build_neighbor_matrix(
@@ -460,10 +465,16 @@ def make_md_step(
             0, rebuild_every, lambda i, s: vv_step(s), state
         )
 
+    def _fold_transient(st: MDState) -> MDState:
+        ov = st.overflow | st.blk_overflow
+        if st.cwin_overflow is not None:
+            ov = ov | st.cwin_overflow
+        return st._replace(overflow=ov)
+
     def chunk(state: MDState) -> MDState:
         st = _rebuild(state)
         if use_blocked:
-            st = st._replace(overflow=st.overflow | st.blk_overflow)
+            st = _fold_transient(st)
         return _steps(st)
 
     _init_force = jax.jit(lambda p, st: -grad_state(p, st))
@@ -491,7 +502,7 @@ def make_md_step(
     def init_state(pos, vel=None, seed=0):
         st = _init_raw(pos, vel=vel, seed=seed)
         if use_blocked:
-            st = st._replace(overflow=st.overflow | st.blk_overflow)
+            st = _fold_transient(st)
         return st._replace(force=_init_force(st.pos, st))
 
     # internals exposed for the adaptive (auto-respec) wrapper
@@ -613,14 +624,35 @@ def make_adaptive_md_step(
             if not bool(jax.device_get(st.blk_overflow)):
                 return st
 
+    def _recwin(state: MDState) -> MDState:
+        """Coulomb window was the SOLE overflow source: retune only the
+        stencil-window spec from the live geometry and rebuild — the MP
+        spec and the model are untouched (no rpc growth, no create_model),
+        so the recompile is limited to the new window shape."""
+        warnings.warn(
+            "blocked MD: Coulomb-window overflow at step "
+            f"{int(jax.device_get(state.step))}; retuning the stencil "
+            "window only (MP spec unchanged)")
+        _build(cur["spec"])
+        cur["chunk"]._resolve_cwspec(state.pos, force=True)
+        return cur["chunk"]._rebuild(_fresh_state(state))
+
+    def _fold(st: MDState) -> MDState:
+        ov = st.overflow
+        if st.blk_overflow is not None:
+            ov = ov | st.blk_overflow
+        if st.cwin_overflow is not None:
+            ov = ov | st.cwin_overflow
+        return st._replace(overflow=ov)
+
     def _ensure(st: MDState, state: MDState) -> MDState:
-        if cur["spec"] is not None and bool(
-                jax.device_get(st.blk_overflow)):
-            st = _respec(state)
-        if cur["spec"] is None and st.blk_overflow is None:
-            return st
-        return st._replace(overflow=st.overflow | st.blk_overflow) \
-            if st.blk_overflow is not None else st
+        if cur["spec"] is not None:
+            if bool(jax.device_get(st.blk_overflow)):
+                st = _respec(state)
+            elif st.cwin_overflow is not None and bool(
+                    jax.device_get(st.cwin_overflow)):
+                st = _recwin(state)
+        return _fold(st)
 
     def chunk(state: MDState) -> MDState:
         st = cur["chunk"]._rebuild(state)
@@ -629,11 +661,7 @@ def make_adaptive_md_step(
 
     def init_state(pos, vel=None, seed=0):
         st = cur["chunk"]._init_raw(pos, vel=vel, seed=seed)
-        if cur["spec"] is not None and bool(
-                jax.device_get(st.blk_overflow)):
-            st = _respec(st)
-        if st.blk_overflow is not None:
-            st = st._replace(overflow=st.overflow | st.blk_overflow)
+        st = _ensure(st, st)
         return st._replace(force=cur["chunk"]._init_force(st.pos, st))
 
     def energy(pos, st):

@@ -434,6 +434,12 @@ def plan_stencil_windows(pos, box_diag, spec: CellBlockSpec,
     direct-pair kernel over these windows sees exactly the atoms the MP
     blocks do.  Mutual coverage: pairs within the wspec cutoff are in each
     other's windows (|Δzbin| ≤ cut_bins − 1 and |Δcol| ≤ S both ways)."""
+    # an oversized stencil wraps onto duplicate columns and silently
+    # double-counts pairs in the direct-pair sum (tune_stencil_window_spec
+    # enforces this; hand-built specs must too)
+    assert 2 * wspec.s + 1 <= min(spec.nx, spec.ny), (
+        f"stencil 2S+1={2 * wspec.s + 1} exceeds grid "
+        f"min(nx,ny)={min(spec.nx, spec.ny)}: wrapped duplicate columns")
     arrays = _plan_impl(pos, box_diag, spec, wspec)
     (run_starts, nr1, _a1f, _a2f, e1, e2, overflow) = arrays[3:10]
     nr2, ex_a1, ex_a2 = arrays[10:13]
@@ -594,7 +600,19 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec,
         a1[:, :, None] + j * rlh,
         a2[:, :, None] + (j - nr1e) * rlh,
     )
-    starts = jnp.clip(starts, 0, max(n_pad - rlh, 0))
+    if wspec is None:
+        # MP path: the one-hot kernels DMA from an UNPADDED [n_pad, F]
+        # source, so every run must fit below n_pad.  Sliding a top run
+        # down is safe here because ``rel`` addresses specific slots.
+        starts = jnp.clip(starts, 0, max(n_pad - rlh, 0))
+    else:
+        # Direct-pair (wspec) path: the kernel source is rlh-padded
+        # (pallas_coulomb._pad_src), so runs may start up to n_pad.
+        # Clipping to n_pad - rlh here would slide the last used run of a
+        # near-full column onto the previous run's rows; window_slot_mask
+        # marks the overlap live in BOTH runs and the direct-pair sum
+        # double-counts those pairs silently (advisor finding, round 4).
+        starts = jnp.clip(starts, 0, n_pad)
     # unused runs (j ≥ nr1+nr2) may start at unaligned piece remnants;
     # floor them too — they DMA junk that nothing addresses.
     starts = (starts // 8) * 8
