@@ -147,30 +147,58 @@ def _g_and_gp(d, rc: float, eps: float, factor: float, need_gp: bool):
     return g, gp
 
 
-def _dma_runs(wspec: StencilWindowSpec, rs_ref, used_ref, src_hbm, win,
-              sems):
-    """Window fetch: HBM → VMEM, 8-row-floored starts (the ·8 is
-    Mosaic's divisibility proof for tiled HBM slicing).  Runs beyond a
-    column's live count are SKIPPED — at the 25k config the static run
-    budget is ~1.9× the mean live count (max-over-blocks sizing), so the
-    skip halves both DMA traffic and issue latency.  Skipped slots hold
-    stale (finite) VMEM from earlier blocks — masked by the slot mask;
-    the one-time zero fill at block 0 keeps uninitialized-NaN out of the
-    0·NaN-poisonable matmuls."""
+def _dma_runs(wspec: StencilWindowSpec, rs_ref, used_ref, rs_n_ref,
+              used_n_ref, src_hbm, win2, sems2):
+    """Double-buffered window fetch: HBM → VMEM, 8-row-floored starts
+    (the ·8 is Mosaic's divisibility proof for tiled HBM slicing).
+
+    Block i's compute overlaps block i+1's DMA: the NEXT block's run
+    table rides in as a rolled copy of the SMEM refs (``rs_n_ref`` /
+    ``used_n_ref`` hold block i+1's rows at grid step i), its copies
+    land in the other half of the [2, W, nc] scratch, and the returned
+    buffer index selects the half holding block i.  This removes the
+    serial DMA-wait from the critical path (N=3000 probe was ~6× off
+    the traffic floor, round-4 PERF.md roadmap #5).
+
+    Runs beyond a column's live count are SKIPPED — at the 25k config
+    the static run budget is ~1.9× the mean live count (max-over-blocks
+    sizing), so the skip halves both DMA traffic and issue latency.
+    Skipped slots hold stale (finite) VMEM from earlier blocks — masked
+    by the slot mask; the one-time zero fill at block 0 keeps
+    uninitialized-NaN out of the 0·NaN-poisonable matmuls."""
     nsc, rpc, rlh = wspec.nsc, wspec.rpc, wspec.rlh
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
 
-    @pl.when(pl.program_id(0) == 0)
-    def _():
-        win[:] = jnp.zeros_like(win)
-
-    def _cp(r):
-        start = rs_ref[0, 0, r] * 8
+    def _cp(buf, rs, r):
+        start = rs[0, 0, r] * 8
         return pltpu.make_async_copy(
             src_hbm.at[pl.ds(start, rlh), :],
-            win.at[pl.ds(r * rlh, rlh), :],
-            sems.at[r],
+            win2.at[buf, pl.ds(r * rlh, rlh), :],
+            sems2.at[buf, r],
         )
 
+    def _issue(buf, rs, used_tbl):
+        for s_ in range(nsc):
+            used = used_tbl[0, 0, s_]
+            for j in range(rpc):
+                r = s_ * rpc + j
+
+                @pl.when(j < used)
+                def _(r=r):
+                    _cp(buf, rs, r).start()
+
+    @pl.when(i == 0)
+    def _():
+        win2[:] = jnp.zeros_like(win2)
+        _issue(0, rs_ref, used_ref)
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _issue(nxt, rs_n_ref, used_n_ref)
+
     for s_ in range(nsc):
         used = used_ref[0, 0, s_]
         for j in range(rpc):
@@ -178,15 +206,8 @@ def _dma_runs(wspec: StencilWindowSpec, rs_ref, used_ref, src_hbm, win,
 
             @pl.when(j < used)
             def _(r=r):
-                _cp(r).start()
-    for s_ in range(nsc):
-        used = used_ref[0, 0, s_]
-        for j in range(rpc):
-            r = s_ * rpc + j
-
-            @pl.when(j < used)
-            def _(r=r):
-                _cp(r).wait()
+                _cp(cur, rs_ref, r).wait()
+    return cur
 
 
 def _sel(ncols: int, c: int):
@@ -259,10 +280,11 @@ def _pair_geometry(spec, wspec, ncols, rc, rows, w, wm, box_ref):
 def _wc_fwd_kernel(spec: CellBlockSpec, wspec: StencilWindowSpec,
                    ncols: int, c: int, rc: float, eps: float,
                    factor: float, *refs):
-    (rs_ref, used_ref, box_ref, rows_ref, wm_ref, src_hbm, phi_ref,
-     win, sems) = refs
-    _dma_runs(wspec, rs_ref, used_ref, src_hbm, win, sems)
-    w = win[:]                                         # [W, ncols] f32
+    (rs_ref, used_ref, rs_n_ref, used_n_ref, box_ref, rows_ref, wm_ref,
+     src_hbm, phi_ref, win2, sems2) = refs
+    cur = _dma_runs(wspec, rs_ref, used_ref, rs_n_ref, used_n_ref,
+                    src_hbm, win2, sems2)
+    w = win2[cur]                                      # [W, ncols] f32
     rows = rows_ref[0]                                 # [cap, ncols]
     valid, safe_d, _ = _pair_geometry(
         spec, wspec, ncols, rc, rows, w, wm_ref[0], box_ref)
@@ -275,11 +297,12 @@ def _wc_fwd_kernel(spec: CellBlockSpec, wspec: StencilWindowSpec,
 def _wc_bwd_kernel(spec: CellBlockSpec, wspec: StencilWindowSpec,
                    ncols: int, c: int, rc: float, eps: float,
                    factor: float, *refs):
-    (rs_ref, used_ref, box_ref, rows_ref, wm_ref, qw_ref, src_hbm,
-     dpos_ref, s2_ref, win, sems) = refs
+    (rs_ref, used_ref, rs_n_ref, used_n_ref, box_ref, rows_ref, wm_ref,
+     qw_ref, src_hbm, dpos_ref, s2_ref, win2, sems2) = refs
     cap, wlen = spec.cap, wspec.window
-    _dma_runs(wspec, rs_ref, used_ref, src_hbm, win, sems)
-    w = win[:]                                         # [W, ncols] f32
+    cur = _dma_runs(wspec, rs_ref, used_ref, rs_n_ref, used_n_ref,
+                    src_hbm, win2, sems2)
+    w = win2[cur]                                      # [W, ncols] f32
     rows = rows_ref[0]                                 # [cap, ncols]
     valid, safe_d, deltas = _pair_geometry(
         spec, wspec, ncols, rc, rows, w, wm_ref[0], box_ref)
@@ -335,6 +358,12 @@ def _common_specs(spec, wspec, ncols, cwin):
                      memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 1, wspec.nsc), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        # NEXT block's run table (host-side rolled copies) — the
+        # double-buffer prefetch source at grid step i
+        pl.BlockSpec((1, 1, nr), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 1, wspec.nsc), lambda i: (i, 0, 0),
+                     memory_space=pltpu.SMEM),
         pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((1, spec.cap, ncols), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -342,10 +371,18 @@ def _common_specs(spec, wspec, ncols, cwin):
                      memory_space=pltpu.VMEM),
     ]
     scratch = [
-        pltpu.VMEM((wlen, ncols), jnp.float32),
-        pltpu.SemaphoreType.DMA((nr,)),
+        pltpu.VMEM((2, wlen, ncols), jnp.float32),
+        pltpu.SemaphoreType.DMA((2, nr)),
     ]
     return in_specs, scratch
+
+
+def _rolled_runs(cwin: CoulombWindows):
+    """Block i+1's run table aligned to grid step i (the double-buffer
+    prefetch operands; the final block's roll-around row is never issued
+    — the kernel guards on ``i + 1 < num_programs``)."""
+    return (jnp.roll(cwin.run_starts8, -1, axis=0),
+            jnp.roll(cwin.nr_used, -1, axis=0))
 
 
 @functools.lru_cache(maxsize=None)
@@ -366,14 +403,15 @@ def _make_wc_fwd(spec: CellBlockSpec, wspec: StencilWindowSpec, c: int,
                                    memory_space=pltpu.VMEM),
             scratch_shapes=scratch,
         )
+        rs_n, used_n = _rolled_runs(cwin)
         phi = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c), jnp.float32),
             compiler_params=_vmem_params(),
             interpret=interpret,
-        )(cwin.run_starts8, cwin.nr_used, cwin.box_diag, rows,
-          cwin.slot_mask, src)
+        )(cwin.run_starts8, cwin.nr_used, rs_n, used_n, cwin.box_diag,
+          rows, cwin.slot_mask, src)
         return phi.reshape(spec.n_pad, c)
 
     return run
@@ -414,8 +452,8 @@ def _make_wc_bwd(spec: CellBlockSpec, wspec: StencilWindowSpec, c: int,
             ],
             compiler_params=_vmem_params(),
             interpret=interpret,
-        )(cwin.run_starts8, cwin.nr_used, cwin.box_diag, rows,
-          cwin.slot_mask, qw.reshape(1, c), src)
+        )(cwin.run_starts8, cwin.nr_used, *_rolled_runs(cwin),
+          cwin.box_diag, rows, cwin.slot_mask, qw.reshape(1, c), src)
         return dpos.reshape(spec.n_pad, 3), s2.reshape(spec.n_pad, c)
 
     return run
