@@ -497,3 +497,100 @@ def test_blocked_q_tier_grouped_matches_packed_asym():
         s = np.abs(p).max() + 1e-30
         assert np.abs(b - p).max() / s < 2e-4, (name,
                                                 np.abs(b - p).max() / s)
+
+
+def _tab_q_case(grouped):
+    """θ-tabulated q-tier (blocked_neighbor_sum_asym_q_tab) vs the unfused
+    pipeline with the EXACT smooth base family base(d) = rbf(d)·W1a: values
+    and all five gradients (incl. the d-cotangent via the derivative
+    series).  T=64 over a width-0.5 gaussian family is ~1e-6 accurate, so
+    the 1e-4 parity bar applies unchanged."""
+    from torchmdnet_tpu.ops.cheb import cheb_fit_matrix, cheb_nodes
+    from torchmdnet_tpu.ops.message_passing import (
+        gather_nodes,
+        gather_rev as _grev,
+        packed_neighbor_sum_asym,
+    )
+    from torchmdnet_tpu.ops.pallas_blocked_mp import (
+        blocked_neighbor_sum_asym_q_tab,
+    )
+
+    f, r, T, cutoff = 16, 8, 64, 3.2
+    if grouped:
+        spec, blocks, nbr, rel, _, feats = _grouped_setup(f=f, precise=True)
+    else:
+        spec, blocks, nbr, rel, _, feats = _blocked_setup(f=f)
+        spec = spec._replace(precise=True)
+    n_pad, k = rel.shape
+    rng = np.random.RandomState(17)
+
+    # direction-symmetric d and cwfm (the op contract; see the exact-tier
+    # tests above)
+    d = jnp.asarray((rng.rand(n_pad, k) * cutoff).astype(np.float32))
+    d = 0.5 * (d + _grev(d[..., None], nbr.idx, nbr.rev_slot,
+                         nbr.mask)[..., 0])
+    cwfm = jnp.asarray(
+        (rng.rand(n_pad, k) * np.asarray(nbr.mask)).astype(np.float32))
+    cwfm = 0.5 * (cwfm + _grev(cwfm[..., None], nbr.idx, nbr.rev_slot,
+                               nbr.mask)[..., 0])
+    u_i = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
+    u_j = jnp.asarray(rng.randn(n_pad, f).astype(np.float32))
+    mu = jnp.asarray(np.linspace(0.0, cutoff, r).astype(np.float32))
+    w1a = jnp.asarray(rng.randn(r, f).astype(np.float32) / np.sqrt(r))
+    w2 = jnp.asarray(rng.randn(f, 2 * f).astype(np.float32) / np.sqrt(f))
+    b2 = jnp.asarray(rng.randn(2 * f).astype(np.float32) * 0.1)
+    w3 = jnp.asarray(
+        rng.randn(2 * f, 3 * f).astype(np.float32) / np.sqrt(2 * f))
+    b3 = jnp.asarray(rng.randn(3 * f).astype(np.float32) * 0.1)
+
+    def rbf(x):
+        return jnp.exp(-((x[..., None] - mu) / 0.5) ** 2)
+
+    coeffs = jnp.einsum(
+        "ts,sf->tf", cheb_fit_matrix(T),
+        rbf(cheb_nodes(T, 0.0, cutoff)) @ w1a,
+        precision=jax.lax.Precision.HIGHEST)
+
+    def loss_tab(dd, cw, ui, uj, x):
+        out = blocked_neighbor_sum_asym_q_tab(
+            dd, cw, ui, uj, x, nbr.mask, nbr.idx, nbr.rev_slot,
+            rel, blocks.run_starts, coeffs, w2, b2, w3, b3, spec,
+            0.0, cutoff, True)
+        return jnp.sum(out * jnp.cos(out * 0.1)), out
+
+    def loss_exact(dd, cw, ui, uj, x):
+        def tail(pre):
+            h = jax.nn.silu(pre)
+            h = jax.nn.silu(h @ w2 + b2)
+            return jax.nn.silu(h @ w3 + b3)
+
+        base = jnp.einsum("nkr,rf->nkf", rbf(dd), w1a,
+                          precision=jax.lax.Precision.HIGHEST)
+        uj_e = gather_nodes(uj, nbr.idx, nbr.rev_slot, nbr.mask)
+        ui_e = gather_nodes(ui, nbr.idx, nbr.rev_slot, nbr.mask)
+        attr = tail(base + ui[:, None, :] + uj_e) * cw[..., None]
+        attr_rev = tail(base + uj[:, None, :] + ui_e) * cw[..., None]
+        out = packed_neighbor_sum_asym(attr, attr_rev, x, nbr.idx,
+                                       nbr.rev_slot, nbr.mask)
+        return jnp.sum(out * jnp.cos(out * 0.1)), out
+
+    args = (d, cwfm, u_i, u_j, feats)
+    (gt, ot), (ge, oe) = (
+        jax.grad(fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(*args)
+        for fn in (loss_tab, loss_exact))
+    scale = np.abs(np.asarray(oe)).max()
+    assert np.abs(np.asarray(ot) - np.asarray(oe)).max() / scale < 1e-4
+    for b, p, name in zip(gt, ge, ("dd", "dcwfm", "du_i", "du_j",
+                                   "dfeats")):
+        b, p = np.asarray(b), np.asarray(p)
+        s = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / s < 5e-4, (name,
+                                                np.abs(b - p).max() / s)
+
+
+def test_blocked_q_tab_tier_matches_exact():
+    _tab_q_case(grouped=False)
+
+
+def test_blocked_q_tab_tier_grouped_matches_exact():
+    _tab_q_case(grouped=True)

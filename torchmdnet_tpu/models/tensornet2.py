@@ -97,10 +97,15 @@ class Interaction2(nn.Module):
     dtype: Optional[jnp.dtype] = None
     pallas_edge_mlp: bool = False  # fused VMEM-resident edge MLP (f32/silu)
     cell_block_spec: Optional[tuple] = None  # CellBlockSpec (static)
+    # θ-tabulated base for the blocked q-tier (Chebyshev terms; 0 = exact
+    # rbf operand).  With tabulation the [N, K, R] rbf array and its
+    # backward cotangent never exist in HBM — required for the grouped
+    # (K'≈3.3K) layout at 25k, and less traffic everywhere.
+    q_tab: int = 128
 
     @nn.compact
     def __call__(self, X: Irreps, charges, nbr: NeighborMatrix, edge_weight,
-                 edge_attr, rev_slot=None, blocked=None):
+                 edge_attr, rev_slot=None, blocked=None, rbf_nodes=None):
         from torchmdnet_tpu.models.common import Linear
 
         if rev_slot is None:
@@ -150,6 +155,7 @@ class Interaction2(nn.Module):
 
             from torchmdnet_tpu.ops.pallas_blocked_mp import (
                 blocked_neighbor_sum_asym_q,
+                blocked_neighbor_sum_asym_q_tab,
             )
 
             w2, b2 = LinearParams(F, 2 * F, name="linears_scalar_1")()
@@ -167,10 +173,32 @@ class Interaction2(nn.Module):
                 [Y.I, Y.A.reshape(n, 3 * F), Y.S.reshape(n, 5 * F)],
                 axis=-1)
             interp = jax.default_backend() != "tpu"
-            msg9 = blocked_neighbor_sum_asym_q(
-                edge_attr, cwfm, u_i, u_j, feats9, nbr.mask, nbr.idx,
-                rev_slot, blocked.rel, blocked.run_starts,
-                w1[:R], w2, b2, w3, b3, self.cell_block_spec, interp)
+            # NOTE: blocked_neighbor_sum_asym_q requires edge_attr and
+            # cwfm direction-SYMMETRIC (equal on both slots of a pair) —
+            # holds here because both are functions of the pair distance
+            # only (rbf(d) and C(d)·mask).  Do not pass direction-
+            # dependent edge values through this op: the mirrored du_j
+            # backward pass would silently read the wrong side.
+            if self.q_tab and rbf_nodes is not None:
+                from torchmdnet_tpu.ops.cheb import cheb_fit_matrix
+
+                # base(d) = rbf(d)·W1a as a T-term Chebyshev series on
+                # [lo, hi]; the fit is one [T, T]·[T, F] matmul per step
+                T = rbf_nodes.shape[0]
+                coeffs = jnp.einsum(
+                    "ts,sf->tf", cheb_fit_matrix(T),
+                    rbf_nodes.astype(jnp.float32) @ w1[:R],
+                    precision=jax.lax.Precision.HIGHEST)
+                msg9 = blocked_neighbor_sum_asym_q_tab(
+                    edge_weight, cwfm, u_i, u_j, feats9, nbr.mask,
+                    nbr.idx, rev_slot, blocked.rel, blocked.run_starts,
+                    coeffs, w2, b2, w3, b3, self.cell_block_spec,
+                    self.cutoff_lower, self.cutoff_upper, interp)
+            else:
+                msg9 = blocked_neighbor_sum_asym_q(
+                    edge_attr, cwfm, u_i, u_j, feats9, nbr.mask, nbr.idx,
+                    rev_slot, blocked.rel, blocked.run_starts,
+                    w1[:R], w2, b2, w3, b3, self.cell_block_spec, interp)
             msg9 = checkpoint_name(msg9, "pns_out")
             M = Irreps(msg9[:, :F], msg9[:, F:4 * F].reshape(n, 3, F),
                        msg9[:, 4 * F:].reshape(n, 5, F))
@@ -277,6 +305,7 @@ class TensorNet2(nn.Module):
     pallas_edge_mlp: bool = False  # fused Pallas edge MLP (f32/silu only)
     pallas_embedding: bool = False  # fused radial-embedding kernel (f32)
     cell_block_spec: Optional[tuple] = None  # blocked MP tier (static spec)
+    q_tab: int = 128  # θ-tabulated q-tier base (0 = exact rbf operand)
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
         kwargs = {}
@@ -330,11 +359,21 @@ class TensorNet2(nn.Module):
                 [jnp.asarray(q, pos.dtype), jnp.zeros((1,), pos.dtype)]
             )[jnp.minimum(batch, q.shape[0])]
 
-        edge_attr = make_rbf(
+        rbf_module = make_rbf(
             self.rbf_type, self.cutoff_lower, self.cutoff_upper, self.num_rbf,
             self.trainable_rbf, name="distance_expansion",
             initial_values=self.rbf_initial,
-        )(dist)
+        )
+        edge_attr = rbf_module(dist)
+        # rbf sampled at the Chebyshev nodes for the θ-tabulated q-tier
+        # base (tiny [T, R]; the series fit happens inside Interaction2
+        # where W1a lives)
+        rbf_nodes = None
+        if self.q_tab and self.cell_block_spec is not None:
+            from torchmdnet_tpu.ops.cheb import cheb_nodes
+
+            rbf_nodes = rbf_module(cheb_nodes(
+                self.q_tab, self.cutoff_lower, self.cutoff_upper))
         safe_w = jnp.where(dist > 0, dist, 1.0)
         edge_vec_norm = delta / safe_w[..., None]
 
@@ -380,7 +419,9 @@ class TensorNet2(nn.Module):
                 dtype=self.dtype,
                 pallas_edge_mlp=self.pallas_edge_mlp,
                 cell_block_spec=self.cell_block_spec,
-            )(X, charges, nbr, dist, edge_attr, rev_slot, blocked=blocked)
+                q_tab=self.q_tab,
+            )(X, charges, nbr, dist, edge_attr, rev_slot, blocked=blocked,
+              rbf_nodes=rbf_nodes)
             charges = ChargePredict(
                 hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
                 name=f"charge_predicts_{i}",

@@ -1076,7 +1076,7 @@ def _plane_dot_cols(ots, wins, c0, c1, transposed=False):
 
 
 def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
-                 *refs):
+                 tab: bool, *refs):
     """Fused charge-fold forward (ungrouped, row-major chain).
 
     ``with_du``: additionally backprop the chain against a per-row
@@ -1085,7 +1085,14 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
     the MIRROR chain (pre1_rev) and gathers the g windows, so du_j costs
     only the fold products and a small tail-transpose (the alternative —
     a second dq pass — re-pays the window gathers, measured +70 ms/step
-    at 25k 2026-08-20)."""
+    at 25k 2026-08-20).
+
+    ``tab``: theta-tabulated base — ``at_ref`` carries θ [1, BK] instead
+    of the rbf [R, BK], ``w1a_ref`` carries the Chebyshev series of
+    base(d) = rbf(d)·W1a as [T=r, F] coeffs, and the base is evaluated
+    in-kernel as cos-basisᵀ·coeffs.  The [N, K, R] rbf tensor never
+    exists in HBM — the memory term that made the grouped (K'≈3.3K)
+    layout OOM at 25k."""
     refs = list(refs)
     gr_ref = refs.pop(5) if with_du else None
     if spec.precise:
@@ -1119,9 +1126,16 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
     rep = (iota_e // k == iota_c).astype(jnp.bfloat16)  # [BK, cap]
     u_e = _rep_dot(rep, urow_ref[0], spec.precise)      # [BK, F]
 
-    base = jax.lax.dot_general(                          # [BK, F]
-        at_ref[0], w1a_ref[:], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    if tab:
+        bT = _basis_t(at_ref[0], 1.0, r)                # [T, BK]
+        base = jax.lax.dot_general(                     # [BK, F]
+            bT, w1a_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_attr_prec(spec))
+    else:
+        base = jax.lax.dot_general(                     # [BK, F]
+            at_ref[0], w1a_ref[:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
     pre1 = base + u_g + u_e
     h1 = jax.nn.silu(pre1)
     z2 = jax.lax.dot_general(
@@ -1174,16 +1188,19 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
 
 
 def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int,
-                         with_du: bool, *refs):
+                         with_du: bool, tab: bool, *refs):
     """Column-grouped fused charge-fold forward: the per-edge MLP chain and
     the window gathers run one stencil column at a time, so each column's
     one-hot contracts only its own ``wc = rpc·rlh`` window rows — gather
     FLOPs ∝ W/9 (the _mp_kernel_grouped_cheb discipline applied to the
     TensorNet2 charge-fold tier).  Edge arrays are COLUMN-MAJOR
     (e = slot·cap + row, lane-aligned group boundaries).  ``with_du``
-    as in :func:`_mp_kernel_q` (du accumulated across columns)."""
+    as in :func:`_mp_kernel_q` (du accumulated across columns); ``tab``
+    as in :func:`_mp_kernel_q` (basis built full-width through a scratch
+    — Mosaic cannot broadcast lane-offset [1, bks] slices)."""
     refs = list(refs)
     gr_ref = refs.pop(5) if with_du else None
+    bt_s = refs.pop(-2) if tab else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
          b2_ref, w3_ref, b3_ref, feats_hbm, out_ref,
@@ -1213,6 +1230,9 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int,
     cw_hi_f = cw.astype(jnp.bfloat16)
     cwb_hi_s[:] = jnp.broadcast_to(cw_hi_f, (wc, bk))
     cwb_hi = cwb_hi_s[:]
+    if tab:
+        # full-width [T, BK] basis once (lane offset 0), sliced per column
+        bt_s[:] = _basis_t(at, 1.0, r)
     if spec.precise:
         cwb_lo_s[:] = jnp.broadcast_to(
             (cw - cw_hi_f.astype(jnp.float32)).astype(jnp.bfloat16),
@@ -1246,9 +1266,15 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int,
         rep = (iota_e % cap == iota_c).astype(jnp.bfloat16)
         u_e = _rep_dot(rep, urow, spec.precise)         # [bks, F]
 
-        base = jax.lax.dot_general(                     # [bks, F]
-            at[:, sl0:sl1], w1a_ref[:], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        if tab:
+            base = jax.lax.dot_general(                 # [bks, F]
+                bt_s[:, sl0:sl1], w1a_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_attr_prec(spec))
+        else:
+            base = jax.lax.dot_general(                 # [bks, F]
+                at[:, sl0:sl1], w1a_ref[:], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
         pre1 = base + u_g + u_e
         h1 = jax.nn.silu(pre1)
         z2 = jax.lax.dot_general(
@@ -1340,7 +1366,8 @@ def _du_fold(dpre_t, rep_t):
     return out
 
 
-def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, *refs):
+def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, tab: bool,
+               *refs):
     """Fused charge-fold backward (transposed).  ``emit``:
 
     * ``"edge_du"`` — rbf cotangent [R, BK], (C·mask) cotangent [1, BK],
@@ -1352,9 +1379,15 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, *refs):
       (urow=u_j, window u=u_i, g↔feats9) to produce du_j — valid because
       pre1(i,k) == pre1_rev(m,k') and the cotangent fold is the same
       product read from the mirror row (see _make_blocked_q_op).
+
+    ``tab``: theta-tabulated base (see :func:`_mp_kernel_q`) — an extra
+    ``ds_ref`` [T, F] carries the DERIVATIVE series, and the first
+    output is the θ-cotangent dd [1, BK] (the series derivative
+    evaluated in the same cos basis) instead of the rbf cotangent.
     """
     want_edge = emit == "edge_du"
-    n_out = (3 if want_edge else 1)
+    refs = list(refs)
+    ds_ref = refs.pop(11) if tab else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
          w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
@@ -1382,9 +1415,16 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, *refs):
     ots = [ot[:]]
 
     # --- recompute the forward chain, transposed (edges on lanes) ---
-    base_t = jax.lax.dot_general(                        # [F, BK]
-        w1a_ref[:], at_ref[0], (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec)
+    if tab:
+        bT = _basis_t(at_ref[0], 1.0, r)                 # [T, BK]
+        base_t = jax.lax.dot_general(                    # [F, BK]
+            w1a_ref[:], bT, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_attr_prec(spec))
+    else:
+        base_t = jax.lax.dot_general(                    # [F, BK]
+            w1a_ref[:], at_ref[0], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
     ug_t = _plane_dot_cols(ots, wins, 9 * f, 10 * f, transposed=True)
     iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 0)
     iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bk), 1)
@@ -1431,20 +1471,32 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, *refs):
     # hi/lo split keeps dpre f32-faithful) — this IS du for this pass
     du_out[0] = _du_fold(dpre_t, rep_t)
     if want_edge:
-        dat_out[0] = jax.lax.dot_general(                # [R, BK]
-            w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        if tab:
+            bprime_t = jax.lax.dot_general(              # [F, BK]
+                ds_ref[:], bT, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_attr_prec(spec))
+            dat_out[0] = jnp.sum(dpre_t * bprime_t, axis=0,
+                                 keepdims=True)          # dd [1, BK]
+        else:
+            dat_out[0] = jax.lax.dot_general(            # [R, BK]
+                w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
 
 
 def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
-                       *refs):
+                       tab: bool, *refs):
     """Column-grouped fused charge-fold backward: per-column transposed
     recompute + cotangent fold (edges on lanes; per-column output slices
-    are lane-aligned by the col_slots 128-quantization).  ``emit`` as in
-    :func:`_dq_kernel`; the in-kernel du fold is what makes the grouped
-    tier HBM-feasible at 25k (K′≈3.3·K made the [N, K′, F] dpre/gather
-    tensors ~4.4 GB each — the round-3 OOM)."""
+    are lane-aligned by the col_slots 128-quantization).  ``emit``/``tab``
+    as in :func:`_dq_kernel`; the in-kernel du fold is what makes the
+    grouped tier HBM-feasible at 25k (K′≈3.3·K made the [N, K′, F]
+    dpre/gather tensors ~4.4 GB each — the round-3 OOM; the θ-tabulated
+    base removes the remaining [N, K′, R] rbf/dat pair)."""
     want_edge = emit == "edge_du"
+    refs = list(refs)
+    ds_ref = refs.pop(11) if tab else None
+    bt_s = refs.pop(-2) if tab else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
          w2_ref, b2t_ref, w3_ref, b3t_ref, feats_hbm,
@@ -1476,6 +1528,9 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
     bk = rel.shape[-1]
     cwb3_s[:] = jnp.broadcast_to(cw, (3 * f, bk))
     cwb3 = cwb3_s[:]
+    if tab:
+        # full-width [T, BK] basis once (lane offset 0), sliced per column
+        bt_s[:] = _basis_t(at, 1.0, r)
     off = 0
     first_col = True
     for s, ks in enumerate(spec.col_slots):
@@ -1498,9 +1553,15 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
             return out
 
         # --- recompute the forward chain, transposed (edges on lanes) ---
-        base_t = jax.lax.dot_general(                    # [F, bks]
-            w1a_ref[:], at[:, sl0:sl1], (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        if tab:
+            base_t = jax.lax.dot_general(                # [F, bks]
+                w1a_ref[:], bt_s[:, sl0:sl1], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=_attr_prec(spec))
+        else:
+            base_t = jax.lax.dot_general(                # [F, bks]
+                w1a_ref[:], at[:, sl0:sl1], (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
         ug_t = pdot_t(9 * f, 10 * f)
         iota_c = jax.lax.broadcasted_iota(jnp.int32, (cap, bks), 0)
         iota_e = jax.lax.broadcasted_iota(jnp.int32, (cap, bks), 1)
@@ -1549,9 +1610,17 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
         else:
             du_out[0] += du_c
         if want_edge:
-            dat_out[0, :, sl0:sl1] = jax.lax.dot_general(  # [R, bks]
-                w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+            if tab:
+                bprime_t = jax.lax.dot_general(          # [F, bks]
+                    ds_ref[:], bt_s[:, sl0:sl1], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=_attr_prec(spec))
+                dat_out[0, :, sl0:sl1] = jnp.sum(
+                    dpre_t * bprime_t, axis=0, keepdims=True)  # dd [1, bks]
+            else:
+                dat_out[0, :, sl0:sl1] = jax.lax.dot_general(  # [R, bks]
+                    w1a_ref[:], dpre_t, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32, precision=prec)
         off += ks
 
 
@@ -1572,7 +1641,7 @@ def _q_edge_t(x, spec: CellBlockSpec, k):
 def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
                            run_starts, w1a, w2, b2, w3, b3, *,
                            spec: CellBlockSpec, interpret: bool = False,
-                           du_rows=None):
+                           du_rows=None, tab_base=None):
     """Raw fused charge-fold forward.  ``window_src`` [n_pad, 10F] =
     [feats9 | gathered-node term]; ``urow_src`` [n_pad, F] enters each of
     its row's edges.  Returns [n_pad, 9F] f32.
@@ -1580,9 +1649,20 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
     ``du_rows`` [n_pad, 9F]: per-row chain-cotangent block — when given,
     the kernel also backprops its edge chain against
     ``du_rows[row] ⊙ (cw·window-gather)`` and returns ``(out, du)`` with
-    du [n_pad, F] (the dfeats+du_j fusion of the asym backward)."""
-    n_pad, k, r = edge_attr.shape
-    f = w1a.shape[1]
+    du [n_pad, F] (the dfeats+du_j fusion of the asym backward).
+
+    ``tab_base`` (theta [n_pad, K], coeffs [T, F]): θ-tabulated base —
+    ``edge_attr``/``w1a`` are ignored (pass None) and base(d) is
+    evaluated in-kernel from the Chebyshev series; no [N, K, R] array."""
+    tab = tab_base is not None
+    if tab:
+        theta, coeffs = tab_base
+        n_pad, k = theta.shape
+        r = coeffs.shape[0]                              # T
+        f = coeffs.shape[1]
+    else:
+        n_pad, k, r = edge_attr.shape
+        f = w1a.shape[1]
     c9 = 9 * f
     cap = spec.cap
     n_blocks = spec.n_blocks
@@ -1593,15 +1673,16 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
     if grouped:
         assert k == sum(spec.col_slots), (k, spec.col_slots)
         kernel = functools.partial(_mp_kernel_q_grouped, spec, f, r,
-                                   with_du)
+                                   with_du, tab)
     else:
-        kernel = functools.partial(_mp_kernel_q, spec, f, r, with_du)
+        kernel = functools.partial(_mp_kernel_q, spec, f, r, with_du, tab)
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        flat_spec if tab else
         pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         flat_spec, flat_spec,
@@ -1628,6 +1709,8 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
             scratch.insert(2, pltpu.VMEM((spec.window, c9 + f),
                                          jnp.bfloat16))
             scratch.insert(-1, pltpu.VMEM((wc, bk), jnp.bfloat16))
+        if tab:  # full-width [T, BK] basis plane (popped at refs[-2])
+            scratch.insert(-1, pltpu.VMEM((r, bk), jnp.float32))
     else:
         # whole-window one-hot scratch (grouped builds per-column values)
         scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
@@ -1637,11 +1720,13 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
             scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     inputs = [
         run_starts.reshape(n_blocks, 1, spec.nr) // 8,
-        _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
+        _cheb_edge_layout(theta.astype(jnp.float32), spec, k) if tab
+        else _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
         _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
         _cheb_edge_layout(rel, spec, k),
         urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
-        w1a.astype(jnp.float32), w2.astype(jnp.float32),
+        coeffs.astype(jnp.float32) if tab else w1a.astype(jnp.float32),
+        w2.astype(jnp.float32),
         b2.astype(jnp.float32).reshape(1, -1),
         w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(1, -1),
         window_src.astype(jnp.float32),
@@ -1681,14 +1766,27 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
 
 def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
                w1a, w2, b2, w3, b3, *, spec: CellBlockSpec,
-               interpret: bool = False, emit: str = "edge_du"):
+               interpret: bool = False, emit: str = "edge_du",
+               tab_base=None):
     """Raw fused charge-fold backward: recomputes the edge chain in
     transposed form.  ``emit="edge_du"`` returns (du [n_pad, F],
     dattr_rbf [n_pad, K, R], dcw [n_pad, K]); ``emit="du"`` returns du
     alone (the mirrored du_j pass).  The per-edge dpre1 tensor is folded
-    to du IN-KERNEL and never reaches HBM."""
-    n_pad, k, r = edge_attr.shape
-    f = w1a.shape[1]
+    to du IN-KERNEL and never reaches HBM.
+
+    ``tab_base`` (theta [n_pad, K], coeffs [T, F], dser [T, F]): the
+    θ-tabulated base (see :func:`blocked_neighbor_sum_q`) — the edge
+    output becomes the x-cotangent dd [n_pad, K] (caller applies the
+    2/(hi−lo) chain factor) instead of the rbf cotangent."""
+    tab = tab_base is not None
+    if tab:
+        theta, coeffs, dser = tab_base
+        n_pad, k = theta.shape
+        r = coeffs.shape[0]                              # T
+        f = coeffs.shape[1]
+    else:
+        n_pad, k, r = edge_attr.shape
+        f = w1a.shape[1]
     c9 = 9 * f
     cap = spec.cap
     n_blocks = spec.n_blocks
@@ -1697,15 +1795,17 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
     want_edge = emit == "edge_du"
     if grouped:
         assert k == sum(spec.col_slots), (k, spec.col_slots)
-        kernel = functools.partial(_dq_kernel_grouped, spec, f, r, emit)
+        kernel = functools.partial(_dq_kernel_grouped, spec, f, r, emit,
+                                   tab)
     else:
-        kernel = functools.partial(_dq_kernel, spec, f, r, emit)
+        kernel = functools.partial(_dq_kernel, spec, f, r, emit, tab)
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
         pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
+        flat_spec if tab else
         pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         flat_spec, flat_spec,
@@ -1713,13 +1813,15 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.VMEM),   # w1a
+        pl.BlockSpec(memory_space=pltpu.VMEM),   # w1a / coeffs
         pl.BlockSpec(memory_space=pltpu.VMEM),   # w2
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b2ᵀ [2F, 1]
         pl.BlockSpec(memory_space=pltpu.VMEM),   # w3
         pl.BlockSpec(memory_space=pltpu.VMEM),   # b3ᵀ [3F, 1]
         pl.BlockSpec(memory_space=pl.ANY),
     ]
+    if tab:  # derivative series, right after b3ᵀ (popped at input 11)
+        in_specs.insert(11, pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch = [
         pltpu.VMEM((spec.window, c9 + f), jnp.float32),
         pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
@@ -1731,9 +1833,12 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16))
+    if tab and grouped:  # full-width [T, BK] basis (popped at refs[-2])
+        scratch.insert(-1, pltpu.VMEM((r, bk), jnp.float32))
+    r_out = 1 if tab else r
     if want_edge:
         out_specs = [
-            pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, r_out, bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -1741,7 +1846,7 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
                          memory_space=pltpu.VMEM),
         ]
         out_shape = [
-            jax.ShapeDtypeStruct((n_blocks, r, bk), jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, r_out, bk), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 1, bk), jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, f, cap), jnp.float32),
         ]
@@ -1757,22 +1862,29 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
+    inputs = [
+        run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+        _cheb_edge_layout(theta.astype(jnp.float32), spec, k) if tab
+        else _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
+        _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
+        _cheb_edge_layout(rel, spec, k),
+        urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
+        g9.astype(jnp.float32).reshape(n_blocks, cap, c9),
+        coeffs.astype(jnp.float32) if tab else w1a.astype(jnp.float32),
+        w2.astype(jnp.float32),
+        b2.astype(jnp.float32).reshape(-1, 1),
+        w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(-1, 1),
+        window_src.astype(jnp.float32),
+    ]
+    if tab:
+        inputs.insert(11, dser.astype(jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=out_shape,
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
-      _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
-      _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
-      _cheb_edge_layout(rel, spec, k),
-      urow_src.astype(jnp.float32).reshape(n_blocks, cap, f),
-      g9.astype(jnp.float32).reshape(n_blocks, cap, c9),
-      w1a.astype(jnp.float32), w2.astype(jnp.float32),
-      b2.astype(jnp.float32).reshape(-1, 1),
-      w3.astype(jnp.float32), b3.astype(jnp.float32).reshape(-1, 1),
-      window_src.astype(jnp.float32))
+    )(*inputs)
     if want_edge:
         dat_t, dcw, du_t = outs
     else:
@@ -1781,13 +1893,20 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
     if not want_edge:
         return du
     if grouped:  # column-major edge order: e = slot·cap + row
-        dat = (dat_t.reshape(n_blocks, r, k, cap).transpose(0, 3, 2, 1)
-                    .reshape(n_pad, k, r))
+        if tab:
+            dat = (dat_t.reshape(n_blocks, k, cap).transpose(0, 2, 1)
+                        .reshape(n_pad, k))
+        else:
+            dat = (dat_t.reshape(n_blocks, r, k, cap).transpose(0, 3, 2, 1)
+                        .reshape(n_pad, k, r))
         dcw_r = (dcw.reshape(n_blocks, k, cap).transpose(0, 2, 1)
                     .reshape(n_pad, k))
         return du, dat, dcw_r
-    dat = (dat_t.reshape(n_blocks, r, cap, k).transpose(0, 2, 3, 1)
-                .reshape(n_pad, k, r))
+    if tab:
+        dat = dat_t.reshape(n_pad, k)
+    else:
+        dat = (dat_t.reshape(n_blocks, r, cap, k).transpose(0, 2, 3, 1)
+                    .reshape(n_pad, k, r))
     return du, dat, dcw.reshape(n_pad, k)
 
 
@@ -1873,3 +1992,84 @@ def blocked_neighbor_sum_asym_q(edge_attr, cwfm, u_i, u_j, feats9, mask,
     return _make_blocked_q_op(spec, interpret)(
         edge_attr, cwfm, u_i, u_j, feats9, mask, idx, rev_slot, rel,
         run_starts, w1a, w2, b2, w3, b3)
+
+
+@functools.lru_cache(maxsize=None)
+def _make_blocked_q_op_tab(spec: CellBlockSpec, lo: float, hi: float,
+                           interpret: bool):
+    """θ-tabulated variant of :func:`_make_blocked_q_op`: the base
+    rbf(d)·W1a is a Chebyshev series evaluated in-kernel, so no
+    [N, K, R] rbf array (or its [N, K, R] cotangent) ever exists in
+    HBM — the memory term that made the grouped (K'≈3.3K) layout OOM at
+    the 25k north-star.  Gradients flow to d, cwfm, u_i/u_j and the
+    features; coeffs/MLP weights get zero cotangents (MD force path)."""
+    from torchmdnet_tpu.ops.pallas_cheb import cheb_deriv_coeffs
+
+    def _theta(d):
+        x = jnp.clip(2.0 * (d.astype(jnp.float32) - lo) / (hi - lo) - 1.0,
+                     -1.0, 1.0)
+        return jnp.arccos(x)
+
+    def _fwd(d, cwfm, u_i, u_j, feats9, rel, run_starts,
+             coeffs, w2, b2, w3, b3):
+        window = jnp.concatenate([feats9, u_j], axis=-1)
+        return blocked_neighbor_sum_q(
+            None, cwfm, u_i, window, rel, run_starts,
+            None, w2, b2, w3, b3, spec=spec, interpret=interpret,
+            tab_base=(_theta(d), coeffs))
+
+    @jax.custom_vjp
+    def asym_q_tab(d, cwfm, u_i, u_j, feats9, mask, idx, rev_slot,
+                   rel, run_starts, coeffs, w2, b2, w3, b3):
+        return _fwd(d, cwfm, u_i, u_j, feats9, rel, run_starts,
+                    coeffs, w2, b2, w3, b3)
+
+    def fwd(d, cwfm, u_i, u_j, feats9, mask, idx, rev_slot,
+            rel, run_starts, coeffs, w2, b2, w3, b3):
+        out = _fwd(d, cwfm, u_i, u_j, feats9, rel, run_starts,
+                   coeffs, w2, b2, w3, b3)
+        return out, (d, cwfm, u_i, u_j, feats9, mask, idx,
+                     rev_slot, rel, run_starts, coeffs, w2, b2, w3, b3)
+
+    def bwd(res, g):
+        (d, cwfm, u_i, u_j, feats9, mask, idx, rev_slot, rel,
+         run_starts, coeffs, w2, b2, w3, b3) = res
+        th = _theta(d)
+        # feature cotangent + du_j via the mirror chain (see
+        # _make_blocked_q_op.bwd — same structure, tabulated base)
+        window_rev = jnp.concatenate([g, u_i], axis=-1)
+        dfeats, du_j = blocked_neighbor_sum_q(
+            None, cwfm, u_j, window_rev, rel, run_starts,
+            None, w2, b2, w3, b3, spec=spec, interpret=interpret,
+            du_rows=feats9, tab_base=(th, coeffs))
+        du_i, dd, dcw = blocked_dq(
+            None, cwfm, u_i, jnp.concatenate([feats9, u_j], axis=-1),
+            g, rel, run_starts, None, w2, b2, w3, b3,
+            spec=spec, interpret=interpret, emit="edge_du",
+            tab_base=(th, coeffs, cheb_deriv_coeffs(coeffs)))
+        dd = (dd * (2.0 / (hi - lo))).astype(d.dtype)
+        return (dd, dcw, du_i, du_j, dfeats, None, None, None, None,
+                None, jnp.zeros_like(coeffs), jnp.zeros_like(w2),
+                jnp.zeros_like(b2), jnp.zeros_like(w3),
+                jnp.zeros_like(b3))
+
+    asym_q_tab.defvjp(fwd, bwd)
+    return asym_q_tab
+
+
+def blocked_neighbor_sum_asym_q_tab(d, cwfm, u_i, u_j, feats9, mask,
+                                    idx, rev_slot, rel, run_starts,
+                                    coeffs, w2, b2, w3, b3,
+                                    spec: CellBlockSpec,
+                                    lo: float, hi: float,
+                                    interpret: bool = False):
+    """Asymmetric blocked charge-fold MP with a θ-tabulated base:
+    functionally ``blocked_neighbor_sum_asym_q`` with
+    ``edge_attr·W1a`` replaced by the Chebyshev series ``coeffs`` [T, F]
+    of base(d) on [lo, hi] — evaluated in-kernel, no [N, K, R] HBM
+    arrays.  Same direction-symmetry contract on d/cwfm as the exact
+    op.  First-order VJP (MD force path); coeffs/MLP weights get zero
+    gradients — force training uses the packed XLA path."""
+    return _make_blocked_q_op_tab(spec, float(lo), float(hi), interpret)(
+        d, cwfm, u_i, u_j, feats9, mask, idx, rev_slot, rel,
+        run_starts, coeffs, w2, b2, w3, b3)
