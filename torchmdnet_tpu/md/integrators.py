@@ -69,6 +69,11 @@ class MDState(NamedTuple):
     # only the stencil-window spec (no MP re-spec / model rebuild) when
     # the Coulomb window is the sole overflow source (advisor, round 4).
     cwin_overflow: jnp.ndarray = None
+    # dual-list mode (grouped blocked tier): compact K embedding list in
+    # sorted row space — the interactions ride the grouped K' list
+    enbr_idx: jnp.ndarray = None
+    enbr_mask: jnp.ndarray = None
+    enbr_rev: jnp.ndarray = None
 
 
 def maxwell_boltzmann_velocities(key, masses, temperature, shape_like):
@@ -255,6 +260,7 @@ def make_md_step(
         n_atoms = int(jnp.asarray(batch).shape[0])
         z_arr = jnp.asarray(z)
         batch_arr = jnp.asarray(batch)
+        emb_nbr_kwargs = None
         if cell_block_spec.col_slots is not None:
             # Grouped kernel tier: the sorted-space neighbor build must
             # use the SPEC's xy grid and emit column-partitioned slots
@@ -273,6 +279,14 @@ def make_md_step(
                 cell_capacity=int(np.ceil(occ * 2.5)) + 8,
                 column_partition=cell_block_spec.col_slots,
             )
+            # Dual-list: a second COMPACT K build for the embedding —
+            # at K'≈3.3K every [N, K', ·] embedding array (the [N,K',3F]
+            # dp tensor alone was 12.4 GB at 25k) would otherwise ride
+            # the grouped layout.  Requires the θ-tabulated q-tier so
+            # the interactions never need an rbf array.
+            if getattr(rep, "q_tab", 0):
+                emb_nbr_kwargs = dict(nbr_kwargs, k_max=k_cap)
+                del emb_nbr_kwargs["column_partition"]
 
     def energy(pos, nbr_idx, nbr_mask, nbr_rev, cnbr_idx=None,
                cnbr_mask=None):
@@ -328,12 +342,22 @@ def make_md_step(
                     jnp.array(False),
                     None,
                 )
+            nbr_emb = None
+            if st.enbr_idx is not None:
+                nbr_emb = NeighborMatrix(
+                    st.enbr_idx,
+                    st.enbr_mask,
+                    jnp.sum(st.enbr_mask, axis=1).astype(jnp.int32),
+                    jnp.array(False),
+                    st.enbr_rev,
+                )
             pos_s = permute_rows(pos, st.perm, st.mask_rows, st.inv_perm)
             y = potential.energy(
                 variables, st.zs, pos_s, st.batchs, num_mols=num_mols,
                 box=box, q=q, nbr=nbr, coulomb_nbr=coulomb_nbr,
                 coulomb_win=coulomb_win,
                 blocked=BlockedMP(st.rel, st.run_starts),
+                nbr_emb=nbr_emb,
             )
             return jnp.sum(y)
     else:
@@ -416,6 +440,15 @@ def make_md_step(
                 zs=zs,
                 batchs=batchs,
             )
+            if emb_nbr_kwargs is not None:
+                enbr = build_neighbor_matrix(
+                    pos_s, batchs, atom_mask=am_s, **emb_nbr_kwargs)
+                state = state._replace(
+                    enbr_idx=enbr.idx,
+                    enbr_mask=enbr.mask,
+                    enbr_rev=enbr.rev_slot,
+                    overflow=state.overflow | enbr.overflow,
+                )
             if use_cwin:
                 from torchmdnet_tpu.ops.cell_blocks import (
                     plan_stencil_windows,

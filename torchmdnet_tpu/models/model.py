@@ -56,6 +56,7 @@ class TorchMDNet(nn.Module):
         coulomb_nbr=None,
         coulomb_win=None,
         blocked=None,
+        nbr_emb=None,
     ):
         atom_mask = batch < num_mols
         rep_kwargs = {}
@@ -64,6 +65,11 @@ class TorchMDNet(nn.Module):
             # passed through only when active so the other representation
             # models keep their uniform signature
             rep_kwargs["blocked"] = blocked
+        if nbr_emb is not None:
+            # dual-list mode (grouped blocked tier): a compact K list for
+            # the embedding while the interactions ride the grouped K'
+            # list (TensorNet2 only)
+            rep_kwargs["nbr_emb"] = nbr_emb
         x, v = self.representation_model(
             z, pos, batch, box=box, q=q, s=s, atom_mask=atom_mask,
             num_mols=num_mols, nbr=nbr, **rep_kwargs,
@@ -127,21 +133,21 @@ class Potential:
 
     def energy(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
                s=None, extra_args=None, nbr=None, coulomb_nbr=None,
-               blocked=None, coulomb_win=None):
+               blocked=None, coulomb_win=None, nbr_emb=None):
         return self.module.apply(
             variables, z, pos, batch, num_mols=num_mols, box=box, q=q, s=s,
             extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
-            blocked=blocked, coulomb_win=coulomb_win,
+            blocked=blocked, coulomb_win=coulomb_win, nbr_emb=nbr_emb,
         )
 
     def apply(self, variables, z, pos, batch, *, num_mols, box=None, q=None,
               s=None, extra_args=None, nbr=None, coulomb_nbr=None,
-              blocked=None, coulomb_win=None):
+              blocked=None, coulomb_win=None, nbr_emb=None):
         if not self.derivative:
             y = self.energy(
                 variables, z, pos, batch, num_mols=num_mols, box=box, q=q,
                 s=s, extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
-                blocked=blocked, coulomb_win=coulomb_win,
+                blocked=blocked, coulomb_win=coulomb_win, nbr_emb=nbr_emb,
             )
             return y, None
 
@@ -149,7 +155,7 @@ class Potential:
             y = self.energy(
                 variables, z, p, batch, num_mols=num_mols, box=box, q=q, s=s,
                 extra_args=extra_args, nbr=nbr, coulomb_nbr=coulomb_nbr,
-                blocked=blocked, coulomb_win=coulomb_win,
+                blocked=blocked, coulomb_win=coulomb_win, nbr_emb=nbr_emb,
             )
             return jnp.sum(y), y
 

@@ -124,10 +124,11 @@ class Interaction2(nn.Module):
         from torchmdnet_tpu.models.common import LinearParams
         from torchmdnet_tpu.ops.config import get_matmul_precision
 
-        R = edge_attr.shape[-1]
+        R = self.num_rbf if edge_attr is None else edge_attr.shape[-1]
         Q = charges.shape[-1]
         w1, b1 = LinearParams(R + 2 * Q, F, name="linears_scalar_0")()
-        cdt = self.dtype if self.dtype is not None else edge_attr.dtype
+        cdt = (self.dtype if self.dtype is not None
+               else (edge_weight if edge_attr is None else edge_attr).dtype)
         w1, b1 = w1.astype(cdt), b1.astype(cdt)
         qc = charges.astype(cdt)
         hi = get_matmul_precision()
@@ -148,8 +149,11 @@ class Interaction2(nn.Module):
             and self.cell_block_spec is not None
             and self.activation == "silu"
             and self.dtype is None
-            and edge_attr.dtype == jnp.float32
+            and edge_weight.dtype == jnp.float32
         )
+        if edge_attr is None:  # dual-list mode: θ-tab q path only
+            assert use_q_kernel and self.q_tab and rbf_nodes is not None, (
+                "edge_attr=None requires the θ-tabulated blocked q-tier")
         if use_q_kernel:
             from jax.ad_checkpoint import checkpoint_name
 
@@ -338,6 +342,7 @@ class TensorNet2(nn.Module):
         nbr: Optional[NeighborMatrix] = None,
         num_mols: Optional[int] = None,
         blocked=None,
+        nbr_emb: Optional[NeighborMatrix] = None,
     ):
         from torchmdnet_tpu.models.common import Linear
 
@@ -350,6 +355,22 @@ class TensorNet2(nn.Module):
         rev_slot = (nbr.rev_slot if nbr.rev_slot is not None
                     else reverse_slots(nbr.idx, nbr.mask))
         delta, dist = neighbor_geometry(pos, nbr, box=box, batch=batch)
+        # Dual-list mode (grouped blocked tier): the embedding runs on a
+        # COMPACT K list while the interactions ride the grouped K'≈3.3K
+        # list through the θ-tabulated q kernels.  Without it, every
+        # [N, K', ·] embedding array inflates 3.3× — the [N, K', 3F] dp
+        # tensor alone was 12.4 GB at the 25k north-star (OOM).
+        if nbr_emb is not None:
+            assert self.q_tab and self.cell_block_spec is not None, (
+                "nbr_emb (dual-list) requires the θ-tabulated blocked "
+                "q-tier — the interactions never see an rbf array")
+            nbr_e = nbr_emb
+            rev_slot_e = (nbr_e.rev_slot if nbr_e.rev_slot is not None
+                          else reverse_slots(nbr_e.idx, nbr_e.mask))
+            delta_e, dist_e = neighbor_geometry(pos, nbr_e, box=box,
+                                                batch=batch)
+        else:
+            nbr_e, rev_slot_e, delta_e, dist_e = nbr, rev_slot, delta, dist
 
         # Per-atom total charge Q (reference :376-380).
         if q is None:
@@ -364,7 +385,10 @@ class TensorNet2(nn.Module):
             self.trainable_rbf, name="distance_expansion",
             initial_values=self.rbf_initial,
         )
-        edge_attr = rbf_module(dist)
+        # dual-list mode: rbf only on the embedding list — the grouped
+        # interactions evaluate base(d) from the series in-kernel
+        edge_attr_e = rbf_module(dist_e)
+        edge_attr = edge_attr_e if nbr_emb is None else None
         # rbf sampled at the Chebyshev nodes for the θ-tabulated q-tier
         # base (tiny [T, R]; the series fit happens inside Interaction2
         # where W1a lives)
@@ -374,8 +398,8 @@ class TensorNet2(nn.Module):
 
             rbf_nodes = rbf_module(cheb_nodes(
                 self.q_tab, self.cutoff_lower, self.cutoff_upper))
-        safe_w = jnp.where(dist > 0, dist, 1.0)
-        edge_vec_norm = delta / safe_w[..., None]
+        safe_w = jnp.where(dist_e > 0, dist_e, 1.0)
+        edge_vec_norm = delta_e / safe_w[..., None]
 
         # Selective remat (same policy as TensorNet): recompute the
         # [N,K,*] edge pipeline in the backward but save the named
@@ -398,7 +422,7 @@ class TensorNet2(nn.Module):
             name="tensor_embedding",
             dtype=self.dtype,
             pallas_embedding=self.pallas_embedding,
-        )(z, nbr, dist, edge_vec_norm, edge_attr, rev_slot)
+        )(z, nbr_e, dist_e, edge_vec_norm, edge_attr_e, rev_slot_e)
 
         charges = ChargePredict(
             hidden_channels=F, activation=self.activation, q_dim=self.q_dim,
