@@ -499,7 +499,7 @@ def test_blocked_q_tier_grouped_matches_packed_asym():
                                                 np.abs(b - p).max() / s)
 
 
-def _tab_q_case(grouped):
+def _tab_q_case(grouped, packed=False):
     """θ-tabulated q-tier (blocked_neighbor_sum_asym_q_tab) vs the unfused
     pipeline with the EXACT smooth base family base(d) = rbf(d)·W1a: values
     and all five gradients (incl. the d-cotangent via the derivative
@@ -521,6 +521,21 @@ def _tab_q_case(grouped):
     else:
         spec, blocks, nbr, rel, _, feats = _blocked_setup(f=f)
         spec = spec._replace(precise=True)
+    if packed:
+        pos, box, _L = _system(600, seed=0)
+        bd = jnp.diag(jnp.asarray(box))
+        nru = np.asarray(blocks.nr1) + np.asarray(blocks.nr2)
+        nrp = int(nru.sum(axis=1).max()) + 2
+        nrp += nrp % 2
+        spec = spec._replace(nrp=nrp)
+        blocks = plan_cell_blocks(jnp.asarray(pos), bd, spec)
+        assert not bool(blocks.overflow)
+        ghost = np.asarray(blocks.perm) >= 600
+        pos_s = jnp.asarray(np.where(ghost[:, None], 0.0,
+                                     pos[np.minimum(np.asarray(blocks.perm),
+                                                    599)]))
+        rel, eov = edge_rel(blocks, nbr.idx, nbr.mask, pos_s, bd)
+        assert not bool(eov)
     n_pad, k = rel.shape
     rng = np.random.RandomState(17)
 
@@ -594,3 +609,46 @@ def test_blocked_q_tab_tier_matches_exact():
 
 def test_blocked_q_tab_tier_grouped_matches_exact():
     _tab_q_case(grouped=True)
+
+
+def test_blocked_packed_runs_matches_unpacked():
+    """Packed-runs window layout (spec.nrp): each block's used runs are
+    packed contiguously, shrinking the static window from 9·rpc·rlh to
+    nrp·rlh.  The one-hot gather must address exactly the same rows —
+    values match the per-column layout to accumulation-order rounding,
+    and the q-tab tier's gradients match the exact pipeline."""
+    from torchmdnet_tpu.ops.pallas_blocked_mp import blocked_neighbor_sum
+
+    f = 16
+    spec, blocks, nbr, rel, attr, feats = _blocked_setup(f=f)
+    pos, box, L = _system(600, seed=0)
+    bd = jnp.diag(jnp.asarray(box))
+
+    nru = np.asarray(blocks.nr1) + np.asarray(blocks.nr2)
+    nrp = int(nru.sum(axis=1).max()) + 2
+    nrp += nrp % 2
+    spec_p = spec._replace(nrp=nrp)
+    assert spec_p.window < spec.window, (spec_p.window, spec.window)
+    blocks_p = plan_cell_blocks(jnp.asarray(pos), bd, spec_p)
+    assert not bool(blocks_p.overflow)
+    # same sort (nrp does not touch the ordering)
+    assert np.array_equal(np.asarray(blocks_p.perm),
+                          np.asarray(blocks.perm))
+    rel_p, eov = edge_rel(blocks_p, nbr.idx, nbr.mask,
+                          jnp.asarray(np.where(
+                              (np.asarray(blocks.perm) >= 600)[:, None],
+                              0.0, pos[np.minimum(
+                                  np.asarray(blocks.perm), 599)])), bd)
+    assert not bool(eov)
+
+    out_u = blocked_neighbor_sum(attr, feats, rel, blocks.run_starts,
+                                 spec=spec, interpret=True)
+    out_p = blocked_neighbor_sum(attr, feats, rel_p, blocks_p.run_starts,
+                                 spec=spec_p, interpret=True)
+    scale = np.abs(np.asarray(out_u)).max() + 1e-30
+    assert np.abs(np.asarray(out_p) - np.asarray(out_u)).max() / scale \
+        < 1e-5
+
+
+def test_blocked_q_tab_tier_packed_matches_exact():
+    _tab_q_case(grouped=False, packed=True)

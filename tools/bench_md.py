@@ -10,7 +10,7 @@ metric.
 
 Env knobs: MD_N (atoms, default 25088), MD_K (neighbor slots, 96),
 MD_TAB (Chebyshev terms for tensornet, 128), MD_REBUILD (25), MD_REMAT (1),
-MD_EMB (fused radial-embedding kernel, 0), MD_MODEL (tensornet2),
+MD_EMB (fused radial-embedding kernel, 1), MD_MODEL (tensornet2),
 MD_PALLAS (fused edge MLP for tensornet2, 1), MD_QDIM (16),
 MD_COULOMB_RC (10.0; 0 disables the Coulomb head → plain Scalar),
 MD_SYS (lattice|gas), MD_PREC (32), MD_BLOCKED (cell-blocked Pallas MP
@@ -93,7 +93,7 @@ args = dict(
     reduce_op="sum", precision=int(os.environ.get("MD_PREC", 32)),
     equivariance_invariance_group="O(3)",
     atom_filter=-1, remat=os.environ.get("MD_REMAT", "1") == "1",
-    pallas_embedding=os.environ.get("MD_EMB", "0") == "1",
+    pallas_embedding=os.environ.get("MD_EMB", "1") == "1",
 )
 if MODEL == "tensornet":
     args.update(tabulated_edge_mlp=TAB)
@@ -101,6 +101,8 @@ else:
     args.update(
         q_dim=QDIM,
         pallas_edge_mlp=os.environ.get("MD_PALLAS", "1") == "1",
+        # θ-tabulated q-tier base terms (0 = exact rbf operand)
+        q_tab=int(os.environ.get("MD_QTAB", 128)),
     )
     if COULOMB_RC > 0:
         from torchmdnet_tpu.ops.neighbors import pick_cell_grid
@@ -122,10 +124,13 @@ if BLOCKED:
 
     # tune for the skin-padded cutoff (the rebuild list is built at
     # cutoff+skin and every listed edge must be window-covered).
-    # MD_GROUPED=1: column-partitioned slots — gather FLOPs ∝ W/9
-    # (default 0); MD_PRECISE=1: hi/lo bf16 split (production forces).
-    # Defaults = the measured 25k winner (2026-08-20): ungrouped cap=16
-    # fast tier, 904.7 ms/step vs 1195.6 gather; grouped OOMs at 25k.
+    # MD_GROUPED=1: column-partitioned slots (default 0 — measured
+    # LOSER at 25k even with the dual embedding list: 1158.9 vs 659.5
+    # ungrouped-packed, the max-sized column budgets K'~3.3K waste
+    # edge-MLP work); MD_PRECISE=1: hi/lo bf16 split (production
+    # forces).  Defaults = the measured 25k winner (2026-08-20):
+    # ungrouped cap=16 packed-runs fast tier + fused embedding,
+    # 643.6 ms/step.
     cell_block_spec = tune_cell_block_spec(
         pos, np.diag(box), 4.5 + 1.0,
         cap=int(os.environ.get("MD_CAP", 16)),

@@ -1,0 +1,130 @@
+"""Force-error certification at the PRODUCTION shape (verdict r04 weak
+#10: the ≤1e-4 eV/Å bar was only certified at n=400-500).
+
+Builds the 25k north-star system (same lattice recipe as
+``bench.py::bench_northstar``) and evaluates ONE energy+force step
+through three tiers:
+
+* ``gather``  — exact XLA gather MP + row-chunked list Coulomb (oracle)
+* ``fast``    — blocked q-tier (bf16 window storage) + windowed Coulomb
+* ``precise`` — blocked hi/lo q-tier + windowed Coulomb
+
+and prints the max / 99.9-percentile absolute force deviation of each
+blocked tier vs the oracle.  Run on the real TPU; ~3 compiles.
+
+Env: FC_N (25088), FC_GROUPED (0), FC_MATMUL (highest — the oracle and
+the tiers share the matmul precision so the comparison isolates tier
+error).
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from torchmdnet_tpu.md.integrators import make_md_step
+from torchmdnet_tpu.models.model import create_model
+from torchmdnet_tpu.ops.cell_blocks import tune_cell_block_spec
+from torchmdnet_tpu.ops.config import set_matmul_precision
+from torchmdnet_tpu.ops.neighbors import pick_cell_grid
+from torchmdnet_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+set_matmul_precision(os.environ.get("FC_MATMUL", "highest"))
+os.environ.setdefault("TMDNET_MP_BUDGET_MB", "512")
+
+N = int(os.environ.get("FC_N", 25088))
+K = 96
+RC = 10.0
+rng = np.random.RandomState(0)
+L = (N / 0.1) ** (1.0 / 3.0)
+
+
+def _near_cubic_dims(n):
+    best = None
+    for nx in range(2, int(round(n ** (1 / 3))) + 9):
+        if n % nx:
+            continue
+        m = n // nx
+        for ny in range(2, int(np.sqrt(m)) + 2):
+            if m % ny:
+                continue
+            nz = m // ny
+            spread = max(nx, ny, nz) / min(nx, ny, nz)
+            if best is None or spread < best[0]:
+                best = (spread, (nx, ny, nz))
+    if best and best[0] < 2.0:
+        return best[1]
+    npd = int(np.ceil(n ** (1.0 / 3.0)))
+    return (npd, npd, npd)
+
+
+dims = _near_cubic_dims(N)
+gx = [np.arange(d) for d in dims]
+g = np.stack(np.meshgrid(*gx, indexing="ij"), -1).reshape(-1, 3)[:N] + 0.5
+a = L / np.array(dims, np.float64)
+pos = (g * a + rng.uniform(-0.3 * a.min(), 0.3 * a.min(), (N, 3))
+       ).astype(np.float32)
+z = rng.choice([1, 1, 6, 7, 8], N).astype(np.int32)
+masses = np.where(z == 1, 1.008, 12.011).astype(np.float64)
+box = np.diag([L, L, L]).astype(np.float32)
+
+qdim = 16
+cd, cs, cc = pick_cell_grid([L] * 3, RC, N)
+base_args = dict(
+    model="tensornet2", embedding_dimension=128, num_layers=2, num_rbf=32,
+    rbf_type="expnorm", trainable_rbf=False, activation="silu",
+    cutoff_lower=0.0, cutoff_upper=4.5, max_z=128, max_num_neighbors=K,
+    derivative=True, prior_model=None, reduce_op="sum", precision=32,
+    equivariance_invariance_group="O(3)", atom_filter=-1, remat=True,
+    pallas_embedding=True, pallas_edge_mlp=True, q_dim=qdim,
+    output_model="ScalarPlusWeightedCoulomb",
+    q_weights=[[1.0] * qdim] * 3, coulomb_cutoff=RC,
+    coulomb_neighbor_strategy="cell", coulomb_cells_per_dim=list(cd),
+    coulomb_cell_stencil=cs, coulomb_cell_capacity=cc,
+)
+grouped = os.environ.get("FC_GROUPED", "0") == "1"
+bj = jnp.asarray(box)
+zj, pj = jnp.asarray(z), jnp.asarray(pos)
+batch = jnp.zeros((N,), jnp.int32)
+q0 = jnp.zeros((1,), jnp.float32)
+
+pot_g = create_model(base_args)
+variables = jax.jit(
+    lambda k_, z_, p_, b_: pot_g.init(k_, z_, p_, b_, num_mols=1, box=bj,
+                                      q=q0)
+)(jax.random.PRNGKey(0), zj, pj, batch)
+jax.block_until_ready(variables)
+print("init done", flush=True)
+
+forces = {}
+for name, precise, blocked in (("gather", False, False),
+                               ("fast", False, True),
+                               ("precise", True, True)):
+    spec = None
+    if blocked:
+        spec = tune_cell_block_spec(
+            pj, jnp.diag(bj), 4.5 + 1.0, cap=16, precise=precise,
+            column_slots=grouped)
+    pot = create_model(dict(base_args, cell_block_spec=spec)) \
+        if blocked else pot_g
+    init_state, _, _ = make_md_step(
+        pot, variables, zj, batch, masses, dt=0.05, num_mols=1, box=bj,
+        q=q0, rebuild_every=25, skin=1.0, temperature=None,
+        neighbor_strategy="cell", cell_block_spec=spec,
+        coulomb_window_spec="auto" if blocked else None)
+    st = init_state(pos, seed=1)
+    jax.block_until_ready(st.force)
+    assert not bool(st.overflow), name
+    forces[name] = np.asarray(st.force)
+    print(f"{name}: |F| max {np.abs(forces[name]).max():.3f}", flush=True)
+
+for name in ("fast", "precise"):
+    d = np.abs(forces[name] - forces["gather"])
+    print(f"{name} vs gather: max {d.max():.3e}  p99.9 "
+          f"{np.percentile(d, 99.9):.3e}  mean {d.mean():.3e} eV/A",
+          flush=True)

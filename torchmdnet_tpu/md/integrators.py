@@ -639,11 +639,14 @@ def make_adaptive_md_step(
                     column_slots=old.col_slots is not None)
             except ValueError:
                 new_spec = None
-            if new_spec is not None and new_spec.rpc <= old.rpc:
-                # live-geometry tune says the old rpc suffices (edge_rel
-                # coverage failed for another transient reason) — force
-                # growth so the loop always makes progress
-                new_spec = old._replace(rpc=old.rpc + 1)
+            if new_spec is not None and new_spec.rpc <= old.rpc and (
+                    old.nrp is None or (new_spec.nrp or 0) <= old.nrp):
+                # live-geometry tune says the old budgets suffice
+                # (edge_rel coverage failed for another transient reason)
+                # — force growth so the loop always makes progress
+                new_spec = old._replace(
+                    rpc=old.rpc + 1,
+                    nrp=None if old.nrp is None else old.nrp + 4)
             if new_spec is None:
                 cur["respecs"] = max_respecs
                 continue

@@ -58,9 +58,22 @@ class CellBlockSpec(NamedTuple):
     # gather FLOPs drop from 2·n_pad·K·W·9F to 2·n_pad·K'·(W/9)·9F
     # (K' = Σ budgets ≈ 1.3K).  None = unpartitioned whole-window kernel.
     col_slots: Optional[tuple] = None
+    # Packed-runs window budget (ungrouped kernels only): per block, the
+    # USED runs of all 9 stencil columns are packed contiguously from
+    # window row 0, and the static window shrinks from 9·rpc·rlh (every
+    # column max-sized) to nrp·rlh with nrp ≈ max over blocks of the
+    # TOTAL used runs — the one-hot contraction FLOPs and the per-block
+    # bf16 split follow (measured ~1.8× fewer dead window rows at the
+    # 25k north-star).  The used count rides as run_starts' last column
+    # (×8 so the wrappers' uniform //8 recovers it).  None = per-column
+    # run slots (required by the grouped kernels' window slicing).
+    nrp: Optional[int] = None
 
     @property
     def nr(self) -> int:
+        """Static run count of the window (packed budget when set)."""
+        if self.nrp is not None and self.col_slots is None:
+            return self.nrp
         return 9 * self.rpc
 
     @property
@@ -78,7 +91,9 @@ class CellBlocks(NamedTuple):
     perm: jnp.ndarray        # [n_pad] sorted row -> original atom (N = ghost)
     inv_perm: jnp.ndarray    # [N] original atom -> sorted row
     mask_rows: jnp.ndarray   # [n_pad] bool: real atom rows
-    run_starts: jnp.ndarray  # [n_blocks, NR] int32 row starts (clamped)
+    run_starts: jnp.ndarray  # [n_blocks, NR] int32 row starts (clamped);
+    #                          packed specs: [n_blocks, NRP+1], last col =
+    #                          total used runs ×8
     nr1: jnp.ndarray         # [n_blocks, 9] runs used by piece 1 per column
     a1: jnp.ndarray          # [n_blocks, 9] piece-1 start row
     a2: jnp.ndarray          # [n_blocks, 9] piece-2 start row
@@ -86,6 +101,10 @@ class CellBlocks(NamedTuple):
     e2: jnp.ndarray          # [n_blocks, 9] piece-2 end row
     overflow: jnp.ndarray    # bool: run capacity exceeded somewhere
     spec: CellBlockSpec
+    # packed-runs layout (spec.nrp): per-column window-row offset (runs
+    # packed contiguously) and piece-2 run counts — edge_rel needs both
+    col_off: jnp.ndarray = None  # [n_blocks, 9] int32, units of runs
+    nr2: jnp.ndarray = None      # [n_blocks, 9]
 
 
 class StencilWindowSpec(NamedTuple):
@@ -216,6 +235,7 @@ def tune_cell_block_spec(
     precise: bool = False,
     column_slots: bool = False,
     slot_slack: int = 2,
+    packed_runs: bool = True,
 ) -> CellBlockSpec:
     """Data-driven spec: plan once with a generous run budget, read off the
     runs actually needed, and return a spec with ``rpc = max_used + slack``.
@@ -245,12 +265,13 @@ def tune_cell_block_spec(
         return _tune_cell_block_spec_cpu(
             pos, box_diag, cutoff, cap=cap, rlh=rlh, zf_width=zf_width,
             slack_runs=slack_runs, precise=precise,
-            column_slots=column_slots, slot_slack=slot_slack)
+            column_slots=column_slots, slot_slack=slot_slack,
+            packed_runs=packed_runs)
 
 
 def _tune_cell_block_spec_cpu(pos, box_diag, cutoff, *, cap, rlh, zf_width,
                               slack_runs, precise, column_slots,
-                              slot_slack):
+                              slot_slack, packed_runs=True):
     n_atoms = pos.shape[0]
     for headroom in (2.5, 4.0, 6.0, 9.0, 14.0):
         probe = make_cell_block_spec(
@@ -266,7 +287,8 @@ def _tune_cell_block_spec_cpu(pos, box_diag, cutoff, *, cap, rlh, zf_width,
             "tune_cell_block_spec: probe overflowed even at 14x headroom "
             "(pathological density concentration?)")
     nr2 = (blocks.e2 - blocks.a2 + probe.rlh - 1) // probe.rlh
-    used = int(jax.device_get(jnp.max(blocks.nr1 + nr2)))
+    nru = blocks.nr1 + nr2
+    used = int(jax.device_get(jnp.max(nru)))
     rpc = max(used + slack_runs, 2)
     if column_slots:
         # Mosaic alignment for the grouped kernels' per-column window
@@ -276,6 +298,15 @@ def _tune_cell_block_spec_cpu(pos, box_diag, cutoff, *, cap, rlh, zf_width,
             rpc += 1
     spec = probe._replace(rpc=rpc, precise=precise)
     if not column_slots:
+        if packed_runs:
+            # packed-runs window budget: the max TOTAL used runs per
+            # block (vs 9·rpc per-column max-sizing — measured ~1.8×
+            # smaller at the 25k north-star).  Even nrp keeps the bf16
+            # window scratch 16-row tiled (rlh is a multiple of 8).
+            tot = int(jax.device_get(jnp.max(jnp.sum(nru, axis=1))))
+            nrp = tot + max(2, 2 * slack_runs)
+            nrp += nrp % 2
+            spec = spec._replace(nrp=min(nrp, 9 * rpc))
         return spec
     # Measure per-stencil-column slot budgets on the concrete geometry
     # (grouped kernel tier).  Requires a ≥3-wide xy grid (the cell-list
@@ -423,7 +454,8 @@ def plan_cell_blocks(pos, box_diag, spec: CellBlockSpec) -> CellBlocks:
     :func:`edge_rel` after the neighbor list is built on the sorted
     positions).  ``pos`` [N, 3] is in the *original* atom order."""
     arrays = _plan_impl(pos, box_diag, spec)
-    return CellBlocks(*arrays[:10], spec=spec)
+    return CellBlocks(*arrays[:10], spec=spec, col_off=arrays[13],
+                      nr2=arrays[10])
 
 
 def plan_stencil_windows(pos, box_diag, spec: CellBlockSpec,
@@ -590,6 +622,8 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec,
     len2 = e2 - a2
     nr1 = (len1 + rlh - 1) // rlh                     # piece-1 runs used
     nr2 = (len2 + rlh - 1) // rlh
+    packed = (wspec is None and spec.nrp is not None
+              and spec.col_slots is None)
     overflow = jnp.any((nr1 + nr2) > rpc)
 
     # run starts: piece-aligned; piece-2 runs follow piece-1 runs.
@@ -616,7 +650,32 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec,
     # unused runs (j ≥ nr1+nr2) may start at unaligned piece remnants;
     # floor them too — they DMA junk that nothing addresses.
     starts = (starts // 8) * 8
-    run_starts = starts.reshape(n_blocks, nr_total).astype(jnp.int32)
+
+    nru = (nr1 + nr2).astype(jnp.int32)               # [n_blocks, 9]
+    if packed:
+        # Pack each block's USED runs contiguously from window row 0:
+        # column c's runs land at [col_off[c], col_off[c] + nru[c]).  The
+        # static window shrinks to nrp·rlh (≈ the max TOTAL used runs,
+        # vs 9·rpc per-column max-sizing) and the used total rides as
+        # run_starts' LAST column (×8 — the kernel wrappers //8 every
+        # column uniformly, recovering the plain count).
+        nrp = spec.nrp
+        col_off = (jnp.cumsum(nru, axis=1) - nru).astype(jnp.int32)
+        used_total = jnp.sum(nru, axis=1).astype(jnp.int32)
+        jr = jnp.arange(rpc, dtype=jnp.int32)[None, None, :]
+        dest = jnp.where(jr < nru[:, :, None],
+                         col_off[:, :, None] + jr, nrp)
+        bidx = jnp.arange(n_blocks, dtype=jnp.int32)[:, None, None]
+        run_starts = jnp.zeros((n_blocks, nrp + 1), jnp.int32)
+        run_starts = run_starts.at[bidx, dest].set(
+            starts.astype(jnp.int32), mode="drop")
+        run_starts = run_starts.at[:, nrp].set(used_total * 8)
+        overflow = overflow | jnp.any(used_total > nrp)
+    else:
+        col_off = jnp.broadcast_to(
+            (jnp.arange(9, dtype=jnp.int32) * rpc)[None, :],
+            (n_blocks, 9))
+        run_starts = starts.reshape(n_blocks, nr_total).astype(jnp.int32)
 
     return (perm, inv_perm, mask_rows, run_starts,
             nr1.astype(jnp.int32),
@@ -624,12 +683,13 @@ def _plan_impl(pos, box_diag, spec: CellBlockSpec,
             e1.astype(jnp.int32), e2.astype(jnp.int32),
             overflow,
             nr2.astype(jnp.int32),
-            ex_a1.astype(jnp.int32), ex_a2.astype(jnp.int32))
+            ex_a1.astype(jnp.int32), ex_a2.astype(jnp.int32),
+            col_off)
 
 
 @partial(jax.jit, static_argnames=("spec",))
 def _edge_rel_impl(blocks_arrays, idx, mask, pos_s, box_diag, spec):
-    (run_starts, nr1, a1, a2, e1, e2) = blocks_arrays
+    (run_starts, nr1, a1, a2, e1, e2, col_off, nr2) = blocks_arrays
     cap, rpc, rlh = spec.cap, spec.rpc, spec.rlh
     n_pad, k = idx.shape
     n_blocks = spec.n_blocks
@@ -665,14 +725,18 @@ def _edge_rel_impl(blocks_arrays, idx, mask, pos_s, box_diag, spec):
         return jnp.take_along_axis(x[blk], q, axis=1)
 
     a1e, e1e, a2e, e2e, nr1e = g(a1), g(e1), g(a2), g(e2), g(nr1)
+    off_e = g(col_off)                                  # runs, per column
+    nru_e = nr1e + g(nr2)
     in1 = (idx >= a1e) & (idx < e1e)
     in2 = (idx >= a2e) & (idx < e2e)
     slot = jnp.where(in1, idx - a1e, nr1e * rlh + (idx - a2e))
     within = jnp.where(
         in1, slot < nr1e * rlh,
-        in2 & (slot < rpc * rlh))
+        in2 & (slot < nru_e * rlh))
     covered = matched & (in1 | in2) & within & mask
-    rel = q * (rpc * rlh) + slot
+    # column window base: packed layout = prefix of used runs; per-column
+    # layout = c·rpc — both ride ``col_off`` so the formula is uniform
+    rel = off_e * rlh + slot
     # Sentinel spec.window on uncovered/invalid slots: the kernel's
     # one-hot compare (iota < window) never matches it, so those edges
     # contribute exact zeros without any separate mask pass.
@@ -687,7 +751,7 @@ def edge_rel(blocks: CellBlocks, idx, mask, pos_s, box_diag):
     ``pos_s`` [n_pad, 3]).  Returns (rel [n_pad, K], overflow)."""
     return _edge_rel_impl(
         (blocks.run_starts, blocks.nr1, blocks.a1, blocks.a2,
-         blocks.e1, blocks.e2),
+         blocks.e1, blocks.e2, blocks.col_off, blocks.nr2),
         idx, mask, pos_s, box_diag, blocks.spec)
 
 

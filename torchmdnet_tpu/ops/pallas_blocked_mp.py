@@ -46,19 +46,44 @@ from torchmdnet_tpu.ops.cell_blocks import CellBlockSpec
 
 def _dma_window(spec: CellBlockSpec, rs_ref, feats_hbm, win, sems):
     """Fetch this block's window: NR runs of RLH rows, HBM → VMEM.
-    ``rs_ref`` is the block's [1, NR] SMEM row of run starts."""
+    ``rs_ref`` is the block's [1, NR] SMEM row of run starts (packed
+    specs: [1, NRP+1], last entry = used run count after the uniform
+    //8 — runs beyond it are SKIPPED; their stale-but-finite VMEM rows
+    are never addressed by ``rel`` and the block-0 zero fill keeps NaN
+    out of the 0·NaN-poisonable one-hot matmuls)."""
     nr, rlh = spec.nr, spec.rlh
-    copies = []
-    for r in range(nr):
+    packed = spec.nrp is not None and spec.col_slots is None
+
+    def _cp(r):
         # run starts arrive in units of 8 rows: the explicit ·8 is the
         # divisibility proof Mosaic needs to slice a tiled HBM ref at a
         # dynamic offset (f32 tiling is (8, 128)).
         start = rs_ref[0, 0, r] * 8
-        cp = pltpu.make_async_copy(
+        return pltpu.make_async_copy(
             feats_hbm.at[pl.ds(start, rlh), :],
             win.at[pl.ds(r * rlh, rlh), :],
             sems.at[r],
         )
+
+    if packed:
+        used = rs_ref[0, 0, nr]
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            win[:] = jnp.zeros_like(win)
+
+        for r in range(nr):
+            @pl.when(r < used)
+            def _(r=r):
+                _cp(r).start()
+        for r in range(nr):
+            @pl.when(r < used)
+            def _(r=r):
+                _cp(r).wait()
+        return
+    copies = []
+    for r in range(nr):
+        cp = _cp(r)
         cp.start()
         copies.append(cp)
     for cp in copies:
@@ -222,7 +247,7 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
     in_specs = [
         # run starts ride in SMEM one block-row at a time — a whole-
         # array scalar prefetch overflows the 1 MB SMEM at 25k blocks
-        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         rel_spec,
         attr_spec,
@@ -252,7 +277,7 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+    )(run_starts.reshape(n_blocks, 1, -1) // 8,
       rel_r, attr_r, feats9.astype(jnp.float32))
     return out.reshape(n_pad, c9)
 
@@ -405,7 +430,7 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
         kernel = functools.partial(_dattr_kernel, spec, f)
 
     in_specs = [
-        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         rel_spec,
         pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
@@ -434,7 +459,7 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
         out_shape=out_shape,
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+    )(run_starts.reshape(n_blocks, 1, -1) // 8,
       rel_r, g_r, feats9.astype(jnp.float32))
     if grouped:
         out = out.reshape(n_blocks, k, cap, 3 * f).transpose(0, 2, 1, 3)
@@ -816,7 +841,7 @@ def blocked_neighbor_sum_cheb(coeffs, theta, fmask, feats9, rel,
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         flat_spec, flat_spec, flat_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # coeffs whole
@@ -849,7 +874,7 @@ def blocked_neighbor_sum_cheb(coeffs, theta, fmask, feats9, rel,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+    )(run_starts.reshape(n_blocks, 1, -1) // 8,
       _cheb_edge_layout(theta.astype(jnp.float32), spec, k),
       _cheb_edge_layout(fmask.astype(jnp.float32), spec, k),
       _cheb_edge_layout(rel, spec, k),
@@ -881,7 +906,7 @@ def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         flat_spec, flat_spec, flat_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # dser whole
@@ -914,7 +939,7 @@ def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
         out_shape=jax.ShapeDtypeStruct((n_blocks, 1, bk), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+    )(run_starts.reshape(n_blocks, 1, -1) // 8,
       _cheb_edge_layout(theta.astype(jnp.float32), spec, k),
       _cheb_edge_layout(fmask.astype(jnp.float32), spec, k),
       _cheb_edge_layout(rel, spec, k),
@@ -1680,7 +1705,7 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         flat_spec if tab else
         pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
@@ -1719,7 +1744,7 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
                                          jnp.bfloat16))
             scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
     inputs = [
-        run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+        run_starts.reshape(n_blocks, 1, -1) // 8,
         _cheb_edge_layout(theta.astype(jnp.float32), spec, k) if tab
         else _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
         _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
@@ -1803,7 +1828,7 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
     in_specs = [
-        pl.BlockSpec((1, 1, spec.nr), lambda i: (i, 0, 0),
+        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
                      memory_space=pltpu.SMEM),
         flat_spec if tab else
         pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
@@ -1863,7 +1888,7 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         scratch_shapes=scratch,
     )
     inputs = [
-        run_starts.reshape(n_blocks, 1, spec.nr) // 8,
+        run_starts.reshape(n_blocks, 1, -1) // 8,
         _cheb_edge_layout(theta.astype(jnp.float32), spec, k) if tab
         else _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
         _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
