@@ -90,6 +90,77 @@ def _dma_window(spec: CellBlockSpec, rs_ref, feats_hbm, win, sems):
         cp.wait()
 
 
+def _is_db(spec: CellBlockSpec) -> bool:
+    """Double-buffered window fetch active (packed ungrouped specs)."""
+    return spec.nrp is not None and spec.col_slots is None
+
+
+def _dma_window_db(spec: CellBlockSpec, rs_ref, rs_n_ref, feats_hbm,
+                   win2, sems2):
+    """Double-buffered packed window fetch: block i's compute overlaps
+    block i+1's DMA — the NEXT block's run table rides in as a rolled
+    copy of the SMEM row (``rs_n_ref``, incl. its own used count), its
+    runs land in the other half of the [2, W, C] scratch, and the
+    returned buffer index selects the half holding block i (the
+    ops/pallas_coulomb.py discipline applied to the MP windows — the 6
+    window passes move ~4.7 MB/block serially otherwise)."""
+    nr, rlh = spec.nr, spec.rlh
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+    cur = jax.lax.rem(i, 2)
+    nxt = 1 - cur
+
+    def _cp(buf, rs, r):
+        start = rs[0, 0, r] * 8
+        return pltpu.make_async_copy(
+            feats_hbm.at[pl.ds(start, rlh), :],
+            win2.at[buf, pl.ds(r * rlh, rlh), :],
+            sems2.at[buf, r],
+        )
+
+    def _issue(buf, rs):
+        used = rs[0, 0, nr]
+        for r in range(nr):
+            @pl.when(r < used)
+            def _(r=r):
+                _cp(buf, rs, r).start()
+
+    @pl.when(i == 0)
+    def _():
+        win2[:] = jnp.zeros_like(win2)
+        _issue(0, rs_ref)
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _issue(nxt, rs_n_ref)
+
+    used = rs_ref[0, 0, nr]
+    for r in range(nr):
+        @pl.when(r < used)
+        def _(r=r):
+            _cp(cur, rs_ref, r).wait()
+    return cur
+
+
+def _window_hilo(spec: CellBlockSpec, rs_ref, rs_n_ref, feats_hbm,
+                 win, hi, lo, sems):
+    """Fetch this block's window (double-buffered when the spec is
+    packed+ungrouped: ``win`` is [2, W, C] and ``rs_n_ref`` carries the
+    next block's run row) and build the bf16(-pair) gather planes.
+    Returns the plane ref tuple the gather dots consume."""
+    if _is_db(spec):
+        cur = _dma_window_db(spec, rs_ref, rs_n_ref, feats_hbm, win, sems)
+        w = win[cur]
+    else:
+        _dma_window(spec, rs_ref, feats_hbm, win, sems)
+        w = win[:]
+    hi[:] = w.astype(jnp.bfloat16)
+    if spec.precise:
+        lo[:] = (w - hi[:].astype(jnp.float32)).astype(jnp.bfloat16)
+        return (hi, lo)
+    return (hi,)
+
+
 def _split_window(spec: CellBlockSpec, win, hi, lo):
     """bf16(-pair) planes of the f32 window, built once per block."""
     w = win[:]
@@ -114,6 +185,8 @@ def _gather_dot(ot, wins, d, f):
 
 
 def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int, *refs):
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
          win, hi, lo, ot, sems) = refs
@@ -125,8 +198,8 @@ def _mp_kernel(spec: CellBlockSpec, f: int, n_pad: int, *refs):
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     # One-hot gather matrix, built once per block into a VMEM scratch
     # (recomputing it per irrep block would re-pay the [W, BK] compare 9×).
@@ -158,6 +231,8 @@ def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
     per-column slices are then static sublane/lane ranges — the row-major
     [cap, ks] → [cap·ks] flatten is a sublane-collapsing shape cast
     Mosaic cannot lower (measured 2026-08-19 on v5e)."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, rel_ref, attr_ref, feats_hbm, out_ref,
          win, hi, lo, sems) = refs
@@ -167,8 +242,8 @@ def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
         lo = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]                                   # [1, K'·cap] int32
     attr = attr_ref[0]                                 # [K'·cap, 3F] f32
@@ -201,6 +276,27 @@ def _mp_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
                 out_ref[0, :, d * f:(d + 1) * f] += contrib
         first = False
         off += ks
+
+
+def _rs_inputs(spec: CellBlockSpec, run_starts, n_blocks):
+    """Run-table kernel operands (+ the rolled next-block row when the
+    double-buffered window fetch is active) and their SMEM specs."""
+    rs8 = run_starts.reshape(n_blocks, 1, -1) // 8
+    sspec = pl.BlockSpec((1, 1, run_starts.shape[-1]),
+                         lambda i: (i, 0, 0), memory_space=pltpu.SMEM)
+    if _is_db(spec):
+        return [rs8, jnp.roll(rs8, -1, axis=0)], [sspec, sspec]
+    return [rs8], [sspec]
+
+
+def _win_scratch(spec: CellBlockSpec, c):
+    """f32 window scratch + DMA semaphores (doubled when the
+    double-buffered fetch is active)."""
+    if _is_db(spec):
+        return (pltpu.VMEM((2, spec.window, c), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, spec.nr)))
+    return (pltpu.VMEM((spec.window, c), jnp.float32),
+            pltpu.SemaphoreType.DMA((spec.nr,)))
 
 
 def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
@@ -244,19 +340,20 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
                                  memory_space=pltpu.VMEM)
         kernel = functools.partial(_mp_kernel, spec, f, n_pad)
 
+    rs_in, rs_specs = _rs_inputs(spec, run_starts, n_blocks)
+    win_s, sems_s = _win_scratch(spec, c9)
     in_specs = [
         # run starts ride in SMEM one block-row at a time — a whole-
         # array scalar prefetch overflows the 1 MB SMEM at 25k blocks
-        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
+        *rs_specs,
         rel_spec,
         attr_spec,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((spec.window, c9), jnp.float32),
+        win_s,
         pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((spec.nr,)),
+        sems_s,
     ]
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
@@ -277,8 +374,7 @@ def blocked_neighbor_sum(attr3f, feats9, rel, run_starts, *,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, -1) // 8,
-      rel_r, attr_r, feats9.astype(jnp.float32))
+    )(*rs_in, rel_r, attr_r, feats9.astype(jnp.float32))
     return out.reshape(n_pad, c9)
 
 
@@ -286,6 +382,8 @@ def _dattr_kernel(spec: CellBlockSpec, f: int, *refs):
     """dattr[e, c] = Σ_{b∈irrep block} g[row(e), b·F+c] · xj[e, b·F+c] —
     the fold of the output cotangent back over the irrep blocks
     (blocked analogue of message_passing._pns_dattr)."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
          win, hi, lo, ot, sems) = refs
@@ -297,8 +395,8 @@ def _dattr_kernel(spec: CellBlockSpec, f: int, *refs):
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]                                   # [1, BK]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -338,6 +436,8 @@ def _dattr_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
     """Column-grouped dattr: per column, gather xj and fold the row
     cotangent (repeated per edge by a 0/1 matmul), writing that column's
     static lane slice of the [cap, K'·3F] output."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, rel_ref, g_ref, feats_hbm, out_ref,
          win, hi, lo, sems) = refs
@@ -347,8 +447,8 @@ def _dattr_kernel_grouped(spec: CellBlockSpec, f: int, *refs):
         lo = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]                                   # [1, K'·cap]
     g_b = g_ref[0]                                     # [cap, 9F] f32
@@ -429,18 +529,18 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
                                          jnp.float32)
         kernel = functools.partial(_dattr_kernel, spec, f)
 
+    rs_in, rs_specs = _rs_inputs(spec, run_starts, n_blocks)
     in_specs = [
-        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
+        *rs_specs,
         rel_spec,
         pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((spec.window, c9), jnp.float32),
+        _win_scratch(spec, c9)[0],
         pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((spec.nr,)),
+        _win_scratch(spec, c9)[1],
     ]
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
@@ -459,7 +559,7 @@ def blocked_dattr(g9, feats9, rel, run_starts, *,
         out_shape=out_shape,
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, -1) // 8,
+    )(*rs_in,
       rel_r, g_r, feats9.astype(jnp.float32))
     if grouped:
         out = out.reshape(n_blocks, k, cap, 3 * f).transpose(0, 2, 1, 3)
@@ -587,6 +687,8 @@ def _attr_prec(spec: CellBlockSpec):
 def _mp_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     """Whole-window fused forward (ungrouped): one-hot gather over the
     full window + in-kernel cheb attr."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
          win, hi, lo, ot, sems) = refs
@@ -598,8 +700,8 @@ def _mp_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]                                    # [1, BK]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -622,6 +724,8 @@ def _mp_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     """Column-grouped fused forward: per-column one-hot gather (FLOPs ∝
     W/9) + in-kernel cheb attr.  Edge arrays are column-major
     (e = slot·cap + row)."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, th_ref, fm_ref, rel_ref, co_ref, feats_hbm, out_ref,
          win, hi, lo, bt_s, sems) = refs
@@ -631,8 +735,8 @@ def _mp_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
         lo = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]                                    # [1, K'·cap]
     # Full-width basis materialized through a SCRATCH store: Mosaic cannot
@@ -680,6 +784,8 @@ def _dd_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     """Whole-window fused d-cotangent: dd[e] = Σ_c dattr[e,c]·G'[e,c]
     computed in transposed [3F, BK] form; dattr = Σ_d g_row ⊙ xj (the
     _dattr_kernel fold), G' = dot(basisT, dser)."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
          out_ref, win, hi, lo, ot, sems) = refs
@@ -691,8 +797,8 @@ def _dd_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     w = spec.window
     bk = rel_ref.shape[-1]
     k = bk // cap
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -736,6 +842,8 @@ def _dd_kernel_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
 
 def _dd_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
     """Column-grouped fused d-cotangent (column-major edge order)."""
+    refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     if spec.precise:
         (rs_ref, th_ref, fm_ref, rel_ref, ds_ref, g_ref, feats_hbm,
          out_ref, win, hi, lo, bt_s, sems) = refs
@@ -745,8 +853,8 @@ def _dd_kernel_grouped_cheb(spec: CellBlockSpec, f: int, T: int, *refs):
         lo = None
     cap = spec.cap
     wc = spec.rpc * spec.rlh
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]
     g_b = g_ref[0]                                      # [cap, 9F]
@@ -840,17 +948,17 @@ def blocked_neighbor_sum_cheb(coeffs, theta, fmask, feats9, rel,
         kernel = functools.partial(_mp_kernel_cheb, spec, f, T)
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    rs_in, rs_specs = _rs_inputs(spec, run_starts, n_blocks)
     in_specs = [
-        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
+        *rs_specs,
         flat_spec, flat_spec, flat_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # coeffs whole
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((spec.window, c9), jnp.float32),
+        _win_scratch(spec, c9)[0],
         pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((spec.nr,)),
+        _win_scratch(spec, c9)[1],
     ]
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
@@ -874,7 +982,7 @@ def blocked_neighbor_sum_cheb(coeffs, theta, fmask, feats9, rel,
         out_shape=jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, -1) // 8,
+    )(*rs_in,
       _cheb_edge_layout(theta.astype(jnp.float32), spec, k),
       _cheb_edge_layout(fmask.astype(jnp.float32), spec, k),
       _cheb_edge_layout(rel, spec, k),
@@ -905,9 +1013,9 @@ def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
         kernel = functools.partial(_dd_kernel_cheb, spec, f, T)
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    rs_in, rs_specs = _rs_inputs(spec, run_starts, n_blocks)
     in_specs = [
-        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
+        *rs_specs,
         flat_spec, flat_spec, flat_spec,
         pl.BlockSpec(memory_space=pltpu.VMEM),   # dser whole
         pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
@@ -915,9 +1023,9 @@ def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     scratch = [
-        pltpu.VMEM((spec.window, c9), jnp.float32),
+        _win_scratch(spec, c9)[0],
         pltpu.VMEM((spec.window, c9), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((spec.nr,)),
+        _win_scratch(spec, c9)[1],
     ]
     if spec.precise:
         scratch.insert(2, pltpu.VMEM((spec.window, c9), jnp.bfloat16))
@@ -939,7 +1047,7 @@ def blocked_dd_cheb(dser, theta, fmask, g9, feats9, rel, run_starts, *,
         out_shape=jax.ShapeDtypeStruct((n_blocks, 1, bk), jnp.float32),
         compiler_params=_cheb_vmem_params(spec, f),
         interpret=interpret,
-    )(run_starts.reshape(n_blocks, 1, -1) // 8,
+    )(*rs_in,
       _cheb_edge_layout(theta.astype(jnp.float32), spec, k),
       _cheb_edge_layout(fmask.astype(jnp.float32), spec, k),
       _cheb_edge_layout(rel, spec, k),
@@ -1119,6 +1227,7 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
     exists in HBM — the memory term that made the grouped (K'≈3.3K)
     layout OOM at 25k."""
     refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     gr_ref = refs.pop(5) if with_du else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, w1a_ref, w2_ref,
@@ -1134,8 +1243,8 @@ def _mp_kernel_q(spec: CellBlockSpec, f: int, r: int, with_du: bool,
     bk = rel_ref.shape[-1]
     k = bk // cap
     prec = _q_prec(spec)
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = _split_window(spec, win, hi, lo)
+    wins = _window_hilo(spec, rs_ref, rs_n_ref, feats_hbm, win, hi, lo,
+                        sems)
 
     rel = rel_ref[0]                                    # [1, BK]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -1224,6 +1333,7 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int,
     as in :func:`_mp_kernel_q` (basis built full-width through a scratch
     — Mosaic cannot broadcast lane-offset [1, bks] slices)."""
     refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     gr_ref = refs.pop(5) if with_du else None
     bt_s = refs.pop(-2) if tab else None
     if spec.precise:
@@ -1238,8 +1348,8 @@ def _mp_kernel_q_grouped(spec: CellBlockSpec, f: int, r: int,
     cap = spec.cap
     wc = spec.rpc * spec.rlh
     prec = _q_prec(spec)
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = [p[:] for p in _split_window(spec, win, hi, lo)]
+    wins = [p[:] for p in _window_hilo(spec, rs_ref, rs_n_ref,
+                                       feats_hbm, win, hi, lo, sems)]
 
     rel = rel_ref[0]                                    # [1, K'·cap]
     at = at_ref[0]                                      # [R, K'·cap]
@@ -1412,6 +1522,7 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, tab: bool,
     """
     want_edge = emit == "edge_du"
     refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     ds_ref = refs.pop(11) if tab else None
     if spec.precise:
         (rs_ref, at_ref, cw_ref, rel_ref, urow_ref, g_ref, w1a_ref,
@@ -1431,8 +1542,8 @@ def _dq_kernel(spec: CellBlockSpec, f: int, r: int, emit: str, tab: bool,
     bk = rel_ref.shape[-1]
     k = bk // cap
     prec = _q_prec(spec)
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = [p[:] for p in _split_window(spec, win, hi, lo)]
+    wins = [p[:] for p in _window_hilo(spec, rs_ref, rs_n_ref,
+                                       feats_hbm, win, hi, lo, sems)]
 
     rel = rel_ref[0]
     iota_w = jax.lax.broadcasted_iota(jnp.int32, (w, bk), 0)
@@ -1520,6 +1631,7 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
     base removes the remaining [N, K′, R] rbf/dat pair)."""
     want_edge = emit == "edge_du"
     refs = list(refs)
+    rs_n_ref = refs.pop(1) if _is_db(spec) else None
     ds_ref = refs.pop(11) if tab else None
     bt_s = refs.pop(-2) if tab else None
     if spec.precise:
@@ -1538,8 +1650,8 @@ def _dq_kernel_grouped(spec: CellBlockSpec, f: int, r: int, emit: str,
     cap = spec.cap
     wc = spec.rpc * spec.rlh
     prec = _q_prec(spec)
-    _dma_window(spec, rs_ref, feats_hbm, win, sems)
-    wins = [p[:] for p in _split_window(spec, win, hi, lo)]
+    wins = [p[:] for p in _window_hilo(spec, rs_ref, rs_n_ref,
+                                       feats_hbm, win, hi, lo, sems)]
 
     rel = rel_ref[0]
     at = at_ref[0]
@@ -1704,9 +1816,9 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    rs_in, rs_specs = _rs_inputs(spec, run_starts, n_blocks)
     in_specs = [
-        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
+        *rs_specs,
         flat_spec if tab else
         pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1722,9 +1834,9 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
     ]
     wc = spec.rpc * spec.rlh
     scratch = [
-        pltpu.VMEM((spec.window, c9 + f), jnp.float32),
+        _win_scratch(spec, c9 + f)[0],
         pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((spec.nr,)),
+        _win_scratch(spec, c9 + f)[1],
     ]
     if grouped:
         # materialized full-width cw·mask broadcast plane(s) — Mosaic
@@ -1743,8 +1855,7 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
             scratch.insert(2, pltpu.VMEM((spec.window, c9 + f),
                                          jnp.bfloat16))
             scratch.insert(-1, pltpu.VMEM((spec.window, bk), jnp.bfloat16))
-    inputs = [
-        run_starts.reshape(n_blocks, 1, -1) // 8,
+    inputs = rs_in + [
         _cheb_edge_layout(theta.astype(jnp.float32), spec, k) if tab
         else _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
         _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
@@ -1760,9 +1871,9 @@ def blocked_neighbor_sum_q(edge_attr, cwfm, urow_src, window_src, rel,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((n_blocks, cap, c9), jnp.float32)
     if with_du:
-        in_specs.insert(5, pl.BlockSpec((1, cap, c9), lambda i: (i, 0, 0),
-                                        memory_space=pltpu.VMEM))
-        inputs.insert(5, du_rows.astype(jnp.float32)
+        in_specs.insert(4 + len(rs_in), pl.BlockSpec(
+            (1, cap, c9), lambda i: (i, 0, 0), memory_space=pltpu.VMEM))
+        inputs.insert(4 + len(rs_in), du_rows.astype(jnp.float32)
                       .reshape(n_blocks, cap, c9))
         out_specs = [out_specs,
                      pl.BlockSpec((1, cap, f), lambda i: (i, 0, 0),
@@ -1827,9 +1938,9 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
 
     flat_spec = pl.BlockSpec((1, 1, bk), lambda i: (i, 0, 0),
                              memory_space=pltpu.VMEM)
+    rs_in, rs_specs = _rs_inputs(spec, run_starts, n_blocks)
     in_specs = [
-        pl.BlockSpec((1, 1, run_starts.shape[-1]), lambda i: (i, 0, 0),
-                     memory_space=pltpu.SMEM),
+        *rs_specs,
         flat_spec if tab else
         pl.BlockSpec((1, r, bk), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1846,11 +1957,12 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         pl.BlockSpec(memory_space=pl.ANY),
     ]
     if tab:  # derivative series, right after b3ᵀ (popped at input 11)
-        in_specs.insert(11, pl.BlockSpec(memory_space=pltpu.VMEM))
+        in_specs.insert(10 + len(rs_in),
+                        pl.BlockSpec(memory_space=pltpu.VMEM))
     scratch = [
-        pltpu.VMEM((spec.window, c9 + f), jnp.float32),
+        _win_scratch(spec, c9 + f)[0],
         pltpu.VMEM((spec.window, c9 + f), jnp.bfloat16),
-        pltpu.SemaphoreType.DMA((spec.nr,)),
+        _win_scratch(spec, c9 + f)[1],
     ]
     if grouped:
         scratch.insert(-1, pltpu.VMEM((3 * f, bk), jnp.float32))
@@ -1887,8 +1999,7 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         out_specs=out_specs,
         scratch_shapes=scratch,
     )
-    inputs = [
-        run_starts.reshape(n_blocks, 1, -1) // 8,
+    inputs = rs_in + [
         _cheb_edge_layout(theta.astype(jnp.float32), spec, k) if tab
         else _q_edge_t(edge_attr.astype(jnp.float32), spec, k),
         _cheb_edge_layout(cwfm.astype(jnp.float32), spec, k),
@@ -1902,7 +2013,7 @@ def blocked_dq(edge_attr, cwfm, urow_src, window_src, g9, rel, run_starts,
         window_src.astype(jnp.float32),
     ]
     if tab:
-        inputs.insert(11, dser.astype(jnp.float32))
+        inputs.insert(10 + len(rs_in), dser.astype(jnp.float32))
     outs = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
