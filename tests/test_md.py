@@ -258,11 +258,12 @@ def test_md_coulomb_10A_liquid_density():
 
     pot = _potential(
         model="tensornet2", q_dim=4, embedding_dimension=16, num_layers=1,
-        # 24 slots: this seed's densest row holds exactly 16 neighbors at
-        # cutoff+skin, which trips the overflow flag at the default
-        # K=16 budget (marginal since round 4 — reproduced at commit
-        # 8ab4be1; the judge's suites never ran this file)
-        max_num_neighbors=24,
+        # At liquid density the skin-padded 6 Å main list holds ~90
+        # neighbors/row (ρ·4πr³/3); the default K=16 budget has
+        # overflowed since this test was written (reproduced at commit
+        # 8ab4be1 — the flag was simply never asserted green by a CI
+        # run of this file).  160 covers the Poisson tail.
+        max_num_neighbors=160,
         output_model="ScalarPlusWeightedCoulomb",
         q_weights=[[1.0] * 4] * 2,
         coulomb_cutoff=rc,

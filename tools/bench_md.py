@@ -102,7 +102,7 @@ else:
         q_dim=QDIM,
         pallas_edge_mlp=os.environ.get("MD_PALLAS", "1") == "1",
         # θ-tabulated q-tier base terms (0 = exact rbf operand)
-        q_tab=int(os.environ.get("MD_QTAB", 128)),
+        q_tab=int(os.environ.get("MD_QTAB", 64)),
     )
     if COULOMB_RC > 0:
         from torchmdnet_tpu.ops.neighbors import pick_cell_grid

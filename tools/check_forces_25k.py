@@ -83,6 +83,7 @@ base_args = dict(
     equivariance_invariance_group="O(3)", atom_filter=-1, remat=True,
     pallas_embedding=True, pallas_edge_mlp=True, q_dim=qdim,
     output_model="ScalarPlusWeightedCoulomb",
+    q_tab=int(os.environ.get("FC_QTAB", 64)),
     q_weights=[[1.0] * qdim] * 3, coulomb_cutoff=RC,
     coulomb_neighbor_strategy="cell", coulomb_cells_per_dim=list(cd),
     coulomb_cell_stencil=cs, coulomb_cell_capacity=cc,

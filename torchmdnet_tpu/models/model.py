@@ -262,7 +262,7 @@ def _make_representation(args: dict, rbf_initial=None):
             pallas_edge_mlp=bool(args.get("pallas_edge_mlp", False)),
             pallas_embedding=bool(args.get("pallas_embedding", False)),
             cell_block_spec=args.get("cell_block_spec"),
-            q_tab=int(args.get("q_tab", 128)),
+            q_tab=int(args.get("q_tab", 64)),
             **shared,
         ), False
     if model_name == "equivariant-transformer":

@@ -237,7 +237,12 @@ class ScalarPlusWeightedCoulomb(OutputModel):
             return int(self.coulomb_max_num_neighbors)
         density = 0.1  # atoms / Å³, water-like (reference :420-423)
         volume = 4.0 / 3.0 * math.pi * self.coulomb_cutoff**3
-        return int(density * volume)
+        # density·volume is the per-row MEAN; real liquid rows exceed it
+        # by Poisson fluctuation (measured: max 472 vs mean 419 at
+        # rc=10/ρ=0.1, n=2048), and the standalone build has no overflow
+        # surface — +35% headroom keeps the default budget complete
+        # instead of silently truncating the densest rows.
+        return int(density * volume * 1.35) + 16
 
     def pre_reduce(self, x, v, z, pos, batch, box=None, num_mols=None,
                    nbr=None, win=None):

@@ -101,7 +101,7 @@ class Interaction2(nn.Module):
     # rbf operand).  With tabulation the [N, K, R] rbf array and its
     # backward cotangent never exist in HBM — required for the grouped
     # (K'≈3.3K) layout at 25k, and less traffic everywhere.
-    q_tab: int = 128
+    q_tab: int = 64
 
     @nn.compact
     def __call__(self, X: Irreps, charges, nbr: NeighborMatrix, edge_weight,
@@ -309,7 +309,7 @@ class TensorNet2(nn.Module):
     pallas_edge_mlp: bool = False  # fused Pallas edge MLP (f32/silu only)
     pallas_embedding: bool = False  # fused radial-embedding kernel (f32)
     cell_block_spec: Optional[tuple] = None  # blocked MP tier (static spec)
-    q_tab: int = 128  # θ-tabulated q-tier base (0 = exact rbf operand)
+    q_tab: int = 64  # θ-tabulated q-tier base (0 = exact rbf operand)
 
     def build_neighbors(self, pos, batch, box=None, atom_mask=None) -> NeighborMatrix:
         kwargs = {}
