@@ -272,3 +272,43 @@ def test_fused_embedding_kchunk_accumulation():
                                     kall, ball, True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_fused_embedding_backward_kernel_matches_jnp():
+    """Round-5 backward kernel (in-kernel jax.vjp of the jnp chain): all
+    ten cotangents must match the pure-jnp VJP (the emask cotangent is
+    defined as zero — the mask is non-differentiable)."""
+    from torchmdnet_tpu.ops import pallas_embedding as pe
+
+    rng = np.random.RandomState(7)
+    n, k, r, f = 32, 161, 8, 32  # K-chunk tail + two row tiles
+    ea = jnp.asarray(rng.randn(n, k, r).astype(np.float32))
+    C = jnp.asarray(rng.rand(n, k).astype(np.float32))
+    vx, vy, vz = (jnp.asarray(rng.randn(n, k).astype(np.float32))
+                  for _ in range(3))
+    zw1 = jnp.asarray(rng.randn(n, f).astype(np.float32))
+    zw2g = jnp.asarray(rng.randn(n, k, f).astype(np.float32))
+    em = jnp.asarray((rng.rand(n, k) > 0.3).astype(np.float32))
+    kall = jnp.asarray(rng.randn(r, 3 * f).astype(np.float32))
+    ball = jnp.asarray(rng.randn(3 * f).astype(np.float32))
+    args = (ea, C, vx, vy, vz, zw1, zw2g, em, kall, ball)
+
+    def loss_fused(*a):
+        out = pe.fused_radial_embedding(*a, True)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    def loss_ref(*a):
+        out = pe.radial_embedding_jnp(*a)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    gf = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    gr = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    names = ("dea", "dC", "dvx", "dvy", "dvz", "dzw1", "dzw2g", "dem",
+             "dkall", "dball")
+    for b, p, name in zip(gf, gr, names):
+        if name == "dem":
+            continue  # defined zero in the kernel (non-diff mask)
+        b, p = np.asarray(b), np.asarray(p)
+        s = np.abs(p).max() + 1e-30
+        assert np.abs(b - p).max() / s < 2e-5, (name,
+                                                np.abs(b - p).max() / s)

@@ -172,12 +172,115 @@ def _fre_fwd(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball,
     ), (edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball)
 
 
+def _emb_bwd_kernel(ea_ref, c_ref, vx_ref, vy_ref, vz_ref, zw1_ref,
+                    zw2g_ref, em_ref, g_ref, kall_ref, ball_ref,
+                    dea_ref, dc_ref, dvx_ref, dvy_ref, dvz_ref, dzw1_ref,
+                    dzw2g_ref, dkall_ref, dball_ref, *, k, r, f):
+    """Row-tiled backward of :func:`radial_embedding_jnp`, traced as the
+    in-kernel ``jax.vjp`` of the identical jnp chain (correct by
+    construction; the chain is recomputed in VMEM per tile instead of
+    XLA materializing the [N, K, 3F] ``dp`` pipeline in HBM — that
+    chunked recompute loop was 47 ms/step of the 25k MD profile).
+    ``dkall``/``dball`` accumulate across the sequential row grid."""
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dkall_ref[:] = jnp.zeros_like(dkall_ref)
+        dball_ref[:] = jnp.zeros_like(dball_ref)
+
+    dk_acc = None
+    db_acc = None
+    for s in range(0, k, _K_CHUNK):
+        kc = min(_K_CHUNK, k - s)
+        sl = slice(s, s + kc)
+        args = (ea_ref[:, sl, :], c_ref[:, sl], vx_ref[:, sl],
+                vy_ref[:, sl], vz_ref[:, sl],
+                zw1_ref[:], zw2g_ref[:, sl, :], em_ref[:, sl],
+                kall_ref[:], ball_ref[0])
+        _, vjp = jax.vjp(radial_embedding_jnp, *args)
+        (dea, dc, dvx, dvy, dvz, dzw1, dzw2g, _dem, dkall,
+         dball) = vjp(g_ref[:])
+        dea_ref[:, sl, :] = dea
+        dc_ref[:, sl] = dc
+        dvx_ref[:, sl] = dvx
+        dvy_ref[:, sl] = dvy
+        dvz_ref[:, sl] = dvz
+        dzw2g_ref[:, sl, :] = dzw2g
+        if s == 0:
+            dzw1_ref[:] = dzw1
+        else:
+            dzw1_ref[:] += dzw1
+        dk_acc = dkall if dk_acc is None else dk_acc + dkall
+        db_acc = dball if db_acc is None else db_acc + dball
+    dkall_ref[:] += dk_acc
+    dball_ref[:] += db_acc.reshape(1, 3 * f)
+
+
+def _bwd_pallas(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball,
+                g, interpret):
+    n, k, r = edge_attr.shape
+    f = zw1.shape[-1]
+    kern = functools.partial(_emb_bwd_kernel, k=k, r=r, f=f)
+    nk = pl.BlockSpec((TILE_N, k), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    nkr = pl.BlockSpec((TILE_N, k, r), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    nkf = pl.BlockSpec((TILE_N, k, f), lambda i: (i, 0, 0),
+                       memory_space=pltpu.VMEM)
+    nf = pl.BlockSpec((TILE_N, f), lambda i: (i, 0),
+                      memory_space=pltpu.VMEM)
+    acc_kall = pl.BlockSpec((r, 3 * f), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    acc_ball = pl.BlockSpec((1, 3 * f), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        kern,
+        grid=(n // TILE_N,),
+        in_specs=[
+            nkr, nk, nk, nk, nk, nf, nkf, nk,
+            pl.BlockSpec((TILE_N, 9 * f), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[nkr, nk, nk, nk, nk, nf, nkf, acc_kall, acc_ball],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, k, r), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, k), jnp.float32),
+            jax.ShapeDtypeStruct((n, f), jnp.float32),
+            jax.ShapeDtypeStruct((n, k, f), jnp.float32),
+            jax.ShapeDtypeStruct((r, 3 * f), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * f), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, g,
+      kall, ball.reshape(1, 3 * f))
+    (dea, dc, dvx, dvy, dvz, dzw1t, dzw2g, dkall, dball) = outs
+    # dzw1 per-tile rows hold the tile's K-sum; total = row value itself
+    # (each row n appears in exactly one tile) — it IS the per-row grad.
+    return (dea, dc, dvx, dvy, dvz, dzw1t, dzw2g,
+            jnp.zeros_like(emask_f), dkall, dball.reshape(3 * f))
+
+
 def _fre_bwd(interpret, res, g):
     edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball = res
     n, k, r = edge_attr.shape
     from torchmdnet_tpu.ops.message_passing import _row_chunks
 
     f = zw1.shape[-1]
+    use_pallas = (
+        (jax.default_backend() == "tpu" or interpret)
+        and n % TILE_N == 0
+        and edge_attr.dtype == jnp.float32
+        and g.dtype == jnp.float32
+    )
+    if use_pallas:
+        return _bwd_pallas(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
+                           kall, ball, g, interpret)
     chunk = _row_chunks(n, k, 3 * f,
                         src_bytes=zw2g.size * zw2g.dtype.itemsize)
     row_args = (edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, g)
