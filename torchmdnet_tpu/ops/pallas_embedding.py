@@ -38,7 +38,7 @@ def _kernel_prec():
 
 
 def radial_embedding_jnp(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
-                         kall, ball):
+                         kall, ball, precision=None):
     """Reference jnp chain — identical numerics; used for bwd + fallback.
 
     Args: edge_attr [N,K,R]; C/vx/vy/vz/emask_f [N,K]; zw1 [N,F];
@@ -47,7 +47,10 @@ def radial_embedding_jnp(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
     """
     n, k, _ = edge_attr.shape
     f = zw1.shape[-1]
-    dp = jnp.einsum("nkr,rf->nkf", edge_attr, kall, precision=_prec()) + ball
+    if precision is None:
+        precision = _prec()
+    dp = jnp.einsum("nkr,rf->nkf", edge_attr, kall,
+                    precision=precision) + ball
     cz = C[..., None] * (zw1[:, None, :] + zw2g) * emask_f[..., None]
     w0 = cz * dp[..., :f]
     w1 = cz * dp[..., f:2 * f]
@@ -192,14 +195,46 @@ def _emb_bwd_kernel(ea_ref, c_ref, vx_ref, vy_ref, vz_ref, zw1_ref,
     for s in range(0, k, _K_CHUNK):
         kc = min(_K_CHUNK, k - s)
         sl = slice(s, s + kc)
-        args = (ea_ref[:, sl, :], c_ref[:, sl], vx_ref[:, sl],
-                vy_ref[:, sl], vz_ref[:, sl],
+        kp = _kernel_prec()  # Mosaic rejects HIGH; map to HIGHEST
+        kc_ = kc
+
+        def chain(ea2, c, vx, vy, vz, zw1_, zw2g_, em_, kall_, ball_):
+            # Same numerics as radial_embedding_jnp, but the rbf
+            # projection runs on a 2-D [T·kc, R] operand: the vjp's
+            # dkall/dea dots then contract a SINGLE dim (Mosaic's
+            # tpu.matmul rejects the [n,k]-batched contraction the
+            # 3-D einsum transpose produces).
+            dp = jax.lax.dot_general(
+                ea2, kall_, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=kp) + ball_
+            dp = dp.reshape(TILE_N, kc_, 3 * f)
+            cz = c[..., None] * (zw1_[:, None, :] + zw2g_) * em_[..., None]
+            w0 = cz * dp[..., :f]
+            w1 = cz * dp[..., f:2 * f]
+            w2 = cz * dp[..., 2 * f:]
+            tr3 = (vx * vx + vy * vy + vz * vz) / 3.0
+            blocks = [
+                jnp.sum(w0, axis=1),
+                jnp.sum(w1 * vx[..., None], axis=1),
+                jnp.sum(w1 * vy[..., None], axis=1),
+                jnp.sum(w1 * vz[..., None], axis=1),
+                jnp.sum(w2 * (vx * vx - tr3)[..., None], axis=1),
+                jnp.sum(w2 * (vx * vy)[..., None], axis=1),
+                jnp.sum(w2 * (vx * vz)[..., None], axis=1),
+                jnp.sum(w2 * (vy * vy - tr3)[..., None], axis=1),
+                jnp.sum(w2 * (vy * vz)[..., None], axis=1),
+            ]
+            return jnp.concatenate(blocks, axis=-1)
+
+        args = (ea_ref[:, sl, :].reshape(TILE_N * kc, r), c_ref[:, sl],
+                vx_ref[:, sl], vy_ref[:, sl], vz_ref[:, sl],
                 zw1_ref[:], zw2g_ref[:, sl, :], em_ref[:, sl],
                 kall_ref[:], ball_ref[0])
-        _, vjp = jax.vjp(radial_embedding_jnp, *args)
+        _, vjp = jax.vjp(chain, *args)
         (dea, dc, dvx, dvy, dvz, dzw1, dzw2g, _dem, dkall,
          dball) = vjp(g_ref[:])
-        dea_ref[:, sl, :] = dea
+        dea_ref[:, sl, :] = dea.reshape(TILE_N, kc, r)
         dc_ref[:, sl] = dc
         dvx_ref[:, sl] = dvx
         dvy_ref[:, sl] = dvy
