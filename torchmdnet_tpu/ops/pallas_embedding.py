@@ -301,6 +301,37 @@ def _bwd_pallas(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball,
             jnp.zeros_like(emask_f), dkall, dball.reshape(3 * f))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def _bwd_op(ea, C, vx, vy, vz, zw1, zw2g, em, kall, ball, g, interpret):
+    """First-order embedding backward as a differentiable op: the value
+    is the Pallas kernel; differentiating THROUGH it (force-loss
+    training takes grad of forces) uses the jnp double-vjp below — a
+    pallas_call cannot be traced inside another derivative."""
+    return _bwd_pallas(ea, C, vx, vy, vz, zw1, zw2g, em, kall, ball, g,
+                       interpret)
+
+
+def _bwd_op_fwd(ea, C, vx, vy, vz, zw1, zw2g, em, kall, ball, g,
+                interpret):
+    return _bwd_op(ea, C, vx, vy, vz, zw1, zw2g, em, kall, ball, g,
+                   interpret), (ea, C, vx, vy, vz, zw1, zw2g, em, kall,
+                                ball, g)
+
+
+def _bwd_op_bwd(interpret, res, cts):
+    *args10, g = res
+
+    def first_order(*a):
+        _, vjp = jax.vjp(radial_embedding_jnp, *a[:10])
+        return vjp(a[10])
+
+    _, vjp2 = jax.vjp(first_order, *args10, g)
+    return vjp2(tuple(cts))
+
+
+_bwd_op.defvjp(_bwd_op_fwd, _bwd_op_bwd)
+
+
 def _fre_bwd(interpret, res, g):
     edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, kall, ball = res
     n, k, r = edge_attr.shape
@@ -314,8 +345,8 @@ def _fre_bwd(interpret, res, g):
         and g.dtype == jnp.float32
     )
     if use_pallas:
-        return _bwd_pallas(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
-                           kall, ball, g, interpret)
+        return _bwd_op(edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f,
+                       kall, ball, g, interpret)
     chunk = _row_chunks(n, k, 3 * f,
                         src_bytes=zw2g.size * zw2g.dtype.itemsize)
     row_args = (edge_attr, C, vx, vy, vz, zw1, zw2g, emask_f, g)
